@@ -1,0 +1,303 @@
+"""Vectorized extractor — whole-Arrow-batch, used by the Spark job.
+
+Organization (deliberately different from golden.py, same semantics):
+  stage A  classify every row in the batch (html/pdf/plain)
+  stage B  tokenize rows into *flat batch-level segment arrays*
+  stage C  numpy keep-mask over all segments of the batch at once
+           (text-density / link-density readability scoring)
+  stage D  per-row assembly with cumulative offsets
+
+The Spark operator (operators/extract.py) calls ``extract_batch`` once per
+Arrow batch — never per row (north rule input_hint: no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import spec
+
+LABELS = ("paragraph", "heading", "list_item", "code", "table", "body")
+_LBL = {name: i for i, name in enumerate(LABELS)}
+_TABLE, _HEADING, _BODY = _LBL["table"], _LBL["heading"], _LBL["body"]
+
+# innermost labelable tags → label id (mirror of golden.innermost_label)
+_LABELABLE = {
+    t: _LBL[spec.segment_label(t)]
+    for t in ("li", "pre", "td", "th", "p", "blockquote", "caption", "figcaption",
+              "h1", "h2", "h3", "h4", "h5", "h6")
+}
+
+
+def _tokenize_html(text: str, seg_text: list, seg_link: list, seg_label: list,
+                   seg_content: list, seg_lspans: list) -> int:
+    """Single pass over one HTML payload; append segments to the flat
+    batch-level lists. Returns the node count (tags seen).
+    """
+    stack: list[str] = []
+    content_depth = 0  # nesting count of main/article currently open
+    label_stack: list[int] = []  # ids of open labelable tags
+    buf_parts: list[str] = []
+    buf_len = 0
+    buf_tail_space = False
+    link_chars = 0
+    lspans: list[tuple[int, int]] = []
+    kill = 0
+    table = 0
+    anchor = 0
+    n_nodes = 0
+
+    def emit() -> None:
+        nonlocal buf_parts, buf_len, buf_tail_space, link_chars, lspans
+        t = "".join(buf_parts).rstrip()
+        if t:
+            seg_text.append(t)
+            seg_link.append(link_chars)
+            seg_label.append(label_stack[-1] if label_stack else _LBL["paragraph"])
+            seg_content.append(content_depth > 0)
+            seg_lspans.append([(s, min(e, len(t))) for s, e in lspans if s < len(t)])
+        buf_parts = []
+        buf_len = 0
+        buf_tail_space = False
+        link_chars = 0
+        lspans = []
+
+    def emit_table_marker() -> None:
+        seg_text.append(spec.TABLE_MARKER)
+        seg_link.append(0)
+        seg_label.append(_TABLE)
+        seg_content.append(content_depth > 0)
+        seg_lspans.append([])
+
+    for tok in spec.TOKEN_RE.finditer(text):
+        t = tok.group(0)
+        c0 = t[0]
+        if c0 == "<":
+            if t.startswith("<!--"):
+                continue
+            n_nodes += 1
+            m = spec.TAG_NAME_RE.match(t)
+            if m is None:
+                continue
+            name = m.group(1).lower()
+            closing = t[1] == "/"
+            void = t.rstrip().endswith("/>") or name in spec.VOID_TAGS
+            if kill:
+                if name in spec.KILL_TAGS:
+                    kill += -1 if closing else (0 if void else 1)
+                continue
+            if table:
+                if name == "table":
+                    if closing:
+                        table -= 1
+                        if table == 0:
+                            emit_table_marker()
+                            if "table" in stack:
+                                stack.remove("table")
+                    else:
+                        table += 1
+                continue
+            if name in spec.KILL_TAGS:
+                if not closing and not void:
+                    emit()
+                    kill = 1
+                continue
+            if name == "a":
+                anchor += -1 if (closing and anchor) else (0 if (closing or void) else 1)
+                continue
+            if name == "table" and not closing:
+                emit()
+                stack.append(name)
+                table = 1
+                continue
+            if name in spec.BLOCK_TAGS:
+                emit()
+                if closing:
+                    if name in stack:
+                        while stack:
+                            popped = stack.pop()
+                            if popped in spec.CONTENT_TAGS:
+                                content_depth -= 1
+                            if popped in _LABELABLE:
+                                label_stack.pop()
+                            if popped == name:
+                                break
+                elif not void:
+                    stack.append(name)
+                    if name in spec.CONTENT_TAGS:
+                        content_depth += 1
+                    if name in _LABELABLE:
+                        label_stack.append(_LABELABLE[name])
+            continue
+        # text node
+        if kill or table:
+            continue
+        start = buf_len
+        piece = spec.collapse_ws(spec.decode_entities(t))
+        if piece:
+            if piece == " ":
+                if buf_len and not buf_tail_space:
+                    buf_parts.append(" ")
+                    buf_len += 1
+                    buf_tail_space = True
+            else:
+                if piece[0] == " " and (buf_len == 0 or buf_tail_space):
+                    piece = piece.lstrip(" ")
+                buf_parts.append(piece)
+                buf_len += len(piece)
+                buf_tail_space = piece.endswith(" ")
+        if anchor and buf_len > start:
+            lspans.append((start, buf_len))
+            link_chars += buf_len - start
+
+    if table:
+        emit_table_marker()
+    emit()
+    return n_nodes
+
+
+_PDF_DT = np.dtype([("x", "f8"), ("y", "f8"), ("size", "f8")])
+
+
+def _extract_pdf_rows(texts: list[str]) -> list[tuple[str, list, int]]:
+    """PDF-layout rows: parse line records, numpy reading-order + block
+    segmentation (vectorized gap/column-break tests), per-block merge.
+    """
+    out = []
+    for text in texts:
+        xs, ys, sizes, fonts, contents = [], [], [], [], []
+        for line in text.split("\n"):
+            m = spec.PDF_LINE_RE.match(line)
+            if m:
+                xs.append(float(m.group(1)))
+                ys.append(float(m.group(2)))
+                sizes.append(float(m.group(3)))
+                fonts.append(m.group(4).strip())
+                contents.append(m.group(5))
+        n = len(xs)
+        if n == 0:
+            out.append(("", [], 0))
+            continue
+        x = np.asarray(xs)
+        y = np.asarray(ys)
+        sz = np.asarray(sizes)
+        order = np.lexsort((np.arange(n), x, y))  # stable (y, x, idx)
+        xo, yo, so = x[order], y[order], sz[order]
+        prev_sz = np.where(so[:-1] > 0, so[:-1], 1.0)
+        brk = ((yo[1:] - yo[:-1]) > spec.PDF_Y_GAP_FACTOR * prev_sz) | (
+            np.abs(xo[1:] - xo[:-1]) > spec.PDF_X_JUMP
+        )
+        block_id = np.concatenate(([0], np.cumsum(brk)))
+        median = float(np.sort(sz)[(n - 1) // 2])
+
+        parts: list[str] = []
+        spans: list[tuple[int, int, str]] = []
+        off = 0
+        for b in range(int(block_id[-1]) + 1):
+            idxs = order[block_id == b]
+            btexts = [contents[i] for i in idxs]
+            n_pipe = sum(1 for t in btexts if "|" in t)
+            if n_pipe >= 2:
+                label, btxt = "table", spec.TABLE_MARKER
+            else:
+                btxt = spec.merge_pdf_lines(btexts)
+                if median > 0 and float(sz[idxs].max()) >= spec.PDF_HEADING_FACTOR * median:
+                    label = "heading"
+                elif any("Mono" in fonts[i] for i in idxs):
+                    label = "code"
+                else:
+                    label = "paragraph"
+            if not btxt:
+                continue
+            if parts:
+                off += 1
+            parts.append(btxt)
+            spans.append((off, off + len(btxt), label))
+            off += len(btxt)
+        out.append(("\n".join(parts), spans, n))
+    return out
+
+
+def extract_batch(texts) -> dict:
+    """Extract a whole batch of turn texts.
+
+    ``texts``: sequence of str|None. Returns dict of equal-length lists:
+    clean_text, spans (list of (start,end,label)), n_nodes, n_spans,
+    n_bytes, kind.
+    """
+    n_rows = len(texts)
+    raw = ["" if t is None else t for t in texts]
+    n_bytes = [len(t.encode("utf-8")) for t in raw]
+    kinds = [spec.detect_kind(t) for t in raw]
+    norm = [spec.nfc(t) for t in raw]
+
+    clean = [""] * n_rows
+    spans: list[list] = [[] for _ in range(n_rows)]
+    n_nodes = [0] * n_rows
+
+    # ---- HTML rows: flat segment arrays + numpy keep mask
+    html_rows = [i for i in range(n_rows) if kinds[i] == "html"]
+    if html_rows:
+        seg_row: list[int] = []
+        seg_text: list[str] = []
+        seg_link: list[int] = []
+        seg_label: list[int] = []
+        seg_content: list[bool] = []
+        seg_lspans: list[list] = []
+        for i in html_rows:
+            before = len(seg_text)
+            n_nodes[i] = _tokenize_html(
+                norm[i], seg_text, seg_link, seg_label, seg_content, seg_lspans
+            )
+            seg_row.extend([i] * (len(seg_text) - before))
+        if seg_text:
+            lens = np.fromiter((len(t) for t in seg_text), dtype=np.int64)
+            links = np.asarray(seg_link, dtype=np.float64)
+            labels = np.asarray(seg_label, dtype=np.int64)
+            content = np.asarray(seg_content, dtype=bool)
+            ld_ok = (links / lens) <= spec.MAX_LINK_DENSITY
+            keep = (
+                (labels == _TABLE)
+                | content
+                | ((labels == _HEADING) & ld_ok)
+                | ((lens >= spec.MIN_BLOCK_CHARS) & ld_ok)
+            )
+            for k in np.flatnonzero(keep):
+                i = seg_row[k]
+                t = seg_text[k]
+                off = len(clean[i]) + 1 if clean[i] else 0
+                clean[i] = clean[i] + "\n" + t if clean[i] else t
+                spans[i].append((off, off + len(t), LABELS[labels[k]]))
+                for s, e in seg_lspans[k]:
+                    if e > s:
+                        spans[i].append((off + s, off + e, "link"))
+
+    # ---- PDF rows
+    pdf_rows = [i for i in range(n_rows) if kinds[i] == "pdf"]
+    if pdf_rows:
+        for i, (ctext, sp, nn) in zip(pdf_rows, _extract_pdf_rows([norm[i] for i in pdf_rows])):
+            clean[i], spans[i], n_nodes[i] = ctext, sp, nn
+
+    # ---- plain rows
+    for i in range(n_rows):
+        if kinds[i] != "plain":
+            continue
+        lines = norm[i].split("\n")
+        n_nodes[i] = len(lines)
+        kept = []
+        for line in lines:
+            s = spec.collapse_ws(line).strip()
+            if s and not spec.NOISE_LINE_RE.match(s) and spec.WORDCHAR_RE.search(s):
+                kept.append(s)
+        c = "\n".join(kept)
+        clean[i] = c
+        spans[i] = [(0, len(c), "body")] if c else []
+
+    return {
+        "clean_text": clean,
+        "spans": spans,
+        "n_nodes": n_nodes,
+        "n_spans": [len(s) for s in spans],
+        "n_bytes": n_bytes,
+        "kind": kinds,
+    }

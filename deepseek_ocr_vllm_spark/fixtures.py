@@ -1,0 +1,212 @@
+"""Deterministic synthetic transcripts generator (FIXTURES.md §1).
+
+Input-hint shape (/root/repo/BASELINE.json:15):
+  (conv_id string, turn_idx int32, role string, text string, tool string,
+   ts timestamp)
+
+Payload mix per turn keyed by sha256(conv_id, turn_idx):
+  6/10 HTML-ish (boilerplate nav/header/footer/aside + main/article content,
+       link-heavy asides, <table> fragments — the OCR markdown contract,
+       reference deepseek-ocr.ts:100,222)
+  2/10 pseudo-PDF layout line records ``x,y,size,font|content``
+       (block segmentation / reading order / span merge — pdf_extract.py:58-73)
+  2/10 plain text incl. empty strings, whitespace-only, NFC/NFD pairs,
+       emoji/status noise lines (deepseek-ocr.ts:383-393)
+
+Conversation lengths are Zipf-distributed so a few conversations are
+pathologically long → exercises conv_id salting / skew handling.
+Fully deterministic: seeded RNGs, ts derived from row index, no wall clock.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from datetime import datetime, timedelta, timezone
+
+import numpy as np
+import pandas as pd
+
+WORDS = (
+    "spark arrow batch vector column parquet shuffle join merge sort scan "
+    "filter window agg table stream page span text block line order key hash "
+    "data query part salt bucket turn conv role tool lineage metric resume "
+    "checkpoint iceberg extract clean node density link heading anchor"
+).split()
+
+import unicodedata as _ud
+
+UNICODE_SAMPLES = [
+    _ud.normalize("NFC", "caf\u00e9 r\u00e9sum\u00e9"),  # composed
+    _ud.normalize("NFD", "caf\u00e9 r\u00e9sum\u00e9"),  # decomposed: NFC step must unify
+    "na\u00efve \u2014 stra\u00dfe",
+    "\u6d77\u4e8b \u60c5\u5831 \u5206\u6790",
+]
+NOISE_LINES = [
+    "Processing image 3/10 ...",
+    "OCR completed in 4.2s",
+    "---",
+    "## OCR Output",
+    "===",
+    "\U0001f6a2\U0001f30a✨",
+]
+TOOLS = ["search", "fetch_page", "run_sql", "extract_pdf", ""]
+ROLES = ["user", "assistant", "tool"]
+
+EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+
+def _seed(conv_id: str, turn_idx: int) -> int:
+    h = hashlib.sha256(f"{conv_id}:{turn_idx}".encode()).digest()
+    return int.from_bytes(h[:8], "big")
+
+
+def _sentence(rng: random.Random, lo: int = 6, hi: int = 18) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(rng.randint(lo, hi)))
+
+
+def _html_payload(rng: random.Random) -> str:
+    nav_items = "".join(
+        f'<li><a href="/{rng.choice(WORDS)}">{rng.choice(WORDS)}</a></li>'
+        for _ in range(rng.randint(3, 7))
+    )
+    parts = [
+        "<!doctype html><html><head><title>t</title>"
+        "<script>var x=1;</script><style>.a{color:red}</style></head><body>",
+        f"<nav><ul>{nav_items}</ul></nav>",
+        f"<header><h1>{_sentence(rng, 2, 5)}</h1></header>",
+    ]
+    use_main = rng.random() < 0.7
+    if use_main:
+        parts.append("<main><article>")
+    parts.append(f"<h2>{_sentence(rng, 3, 6)}</h2>")
+    for _ in range(rng.randint(1, 4)):
+        body = _sentence(rng, 25, 60)
+        if rng.random() < 0.3:
+            body += f' see <a href="/{rng.choice(WORDS)}">{rng.choice(WORDS)}</a> for more'
+        parts.append(f"<p>{body}</p>")
+    if rng.random() < 0.4:
+        rows = "".join(
+            "<tr>" + "".join(f"<td>{rng.choice(WORDS)}</td>" for _ in range(3)) + "</tr>"
+            for _ in range(rng.randint(2, 4))
+        )
+        parts.append(f"<table>{rows}</table>")
+    if rng.random() < 0.4:
+        items = "".join(f"<li>{_sentence(rng, 5, 12)}</li>" for _ in range(rng.randint(2, 4)))
+        parts.append(f"<ul>{items}</ul>")
+    if rng.random() < 0.25:
+        parts.append(f"<p>{rng.choice(UNICODE_SAMPLES)} {_sentence(rng, 10, 25)}</p>")
+    if rng.random() < 0.3:  # short junk div — should be dropped by density gate
+        parts.append(f"<div>{rng.choice(WORDS)}</div>")
+    if rng.random() < 0.3:  # link farm — dropped by link-density gate
+        farm = " ".join(
+            f'<a href="/{w}">{w} {rng.choice(WORDS)}</a>' for w in rng.sample(WORDS, 6)
+        )
+        parts.append(f"<div>{farm}</div>")
+    if use_main:
+        parts.append("</article></main>")
+    parts.append(
+        f'<aside><a href="/x">{_sentence(rng, 2, 4)}</a></aside>'
+        f"<footer><p>© 2025 {rng.choice(WORDS)}</p></footer></body></html>"
+    )
+    return "".join(parts)
+
+
+def _pdf_payload(rng: random.Random) -> str:
+    lines: list[str] = []
+    y = 40.0
+    two_col = rng.random() < 0.3
+    lines.append(f"72,{y:.1f},20,Serif-Bold|{_sentence(rng, 3, 6)}")
+    y += 40
+    for _ in range(rng.randint(2, 5)):
+        x = 72.0 if not two_col or rng.random() < 0.5 else 320.0
+        n_lines = rng.randint(2, 5)
+        for j in range(n_lines):
+            txt = _sentence(rng, 5, 10)
+            if j < n_lines - 1 and rng.random() < 0.25:
+                txt += "-"  # hyphenated wrap → span merge drops it
+            lines.append(f"{x:.1f},{y:.1f},10,Serif|{txt}")
+            y += 12
+        y += 40
+    if rng.random() < 0.4:
+        for _ in range(rng.randint(2, 4)):
+            cells = " | ".join(rng.choice(WORDS) for _ in range(3))
+            lines.append(f"72,{y:.1f},9,Serif|{cells}")
+            y += 11
+        y += 40
+    if rng.random() < 0.3:
+        for _ in range(rng.randint(1, 3)):
+            lines.append(f"90,{y:.1f},9,Mono|{rng.choice(WORDS)} = {rng.randint(0, 99)}")
+            y += 11
+    rng.shuffle(lines)  # arrival order ≠ reading order → sort must fix it
+    return "\n".join(lines)
+
+
+def _plain_payload(rng: random.Random) -> str:
+    r = rng.random()
+    if r < 0.08:
+        return ""
+    if r < 0.14:
+        return "   \n\t  \n "
+    lines = []
+    for _ in range(rng.randint(1, 6)):
+        if rng.random() < 0.3:
+            lines.append(rng.choice(NOISE_LINES))
+        elif rng.random() < 0.2:
+            lines.append(rng.choice(UNICODE_SAMPLES))
+        else:
+            lines.append(_sentence(rng, 6, 20))
+    return "\n".join(lines)
+
+
+def gen_transcripts(n_turns: int, seed: int = 42, max_conv_turns: int = 500) -> pd.DataFrame:
+    """Generate ≈n_turns transcript rows (full conversations, so slightly over)."""
+    nprng = np.random.RandomState(seed)
+    rows: list[tuple] = []
+    conv_i = 0
+    total = 0
+    while total < n_turns:
+        length = min(int(nprng.zipf(1.2)), max_conv_turns)
+        conv_id = f"conv_{conv_i:08d}"
+        for turn_idx in range(length):
+            s = _seed(conv_id, turn_idx)
+            rng = random.Random(s)
+            kind = s % 10
+            role = ROLES[turn_idx % 3]
+            if kind < 6:
+                text = _html_payload(rng)
+            elif kind < 8:
+                text = _pdf_payload(rng)
+            else:
+                text = _plain_payload(rng)
+            tool = TOOLS[s % len(TOOLS)] if role == "tool" else ""
+            ts = EPOCH + timedelta(seconds=7 * (total + turn_idx))
+            rows.append((conv_id, turn_idx, role, text, tool, ts))
+        total += length
+        conv_i += 1
+    df = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
+def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42,
+                              max_conv_turns: int = 500) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = gen_transcripts(n_turns, seed=seed, max_conv_turns=max_conv_turns)
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("role", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("tool", pa.string()),
+            pa.field("ts", pa.timestamp("us", tz="UTC")),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+                   path, compression="zstd")
+    return path

@@ -1,0 +1,145 @@
+"""Flagship extraction job (the north rule, /root/repo/BASELINE.json).
+
+Plan shape, designed for 10^12 turns on a 1000-executor cluster:
+
+  scan transcripts (parquet/Iceberg; column-pruned: the UDF only needs the
+      six input columns, Catalyst prunes the rest)
+  → bucket_id = pmod(xxhash64(conv_id), n_buckets)        [deterministic]
+  → slice_id  = turn_idx div turns_per_slice              [skew defuse: a
+      5M-turn conversation splits across tasks instead of pinning one core —
+      the reference's hash(path)%n endpoint-salting idiom, job.py:144-148]
+  → anti-join checkpoint(status=done) on bucket_id        [resume]
+  → repartition(n_buckets, conv_id, slice_id)
+      .sortWithinPartitions(conv_id, turn_idx)            [stable turn order]
+  → mapInArrow extract (one Python call per Arrow batch)
+  → write partitionBy(bucket_id), dynamic overwrite       [per-bucket atomic,
+      idempotent re-run]
+  → append per-bucket lineage+metrics rows to checkpoint  [A11 audit pattern,
+      sql/ebisu_transform.sql:13-21]
+
+Extraction is per-turn, so conversations need not be co-located; the
+(conv_id, turn_idx) sortWithinPartitions gives stable intra-task ordering
+(north rule W4) without a global sort.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.extract import extract_map_in_arrow
+from .sources import tableio
+
+DEFAULT_BUCKETS = 64
+TURNS_PER_SLICE = 256
+
+INPUT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def turns_path(output_dir: str) -> str:
+    return f"{output_dir}/extracted_turns"
+
+
+def checkpoint_path(output_dir: str) -> str:
+    return f"{output_dir}/checkpoint"
+
+
+def _with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def completed_buckets(spark: SparkSession, output_dir: str) -> DataFrame | None:
+    ckpt = tableio.read_or_none(spark, checkpoint_path(output_dir))
+    if ckpt is None:
+        return None
+    return ckpt.filter(F.col("status") == "done").select("bucket_id").distinct()
+
+
+def run_extraction(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    run_id: int = 1,
+    max_buckets: int | None = None,
+    turns_per_slice: int = TURNS_PER_SLICE,
+) -> dict:
+    """Run (or resume) the extraction job. Returns a summary dict.
+
+    ``max_buckets`` processes only the first K pending buckets — used by
+    tests to simulate a killed run, and operationally to drain in waves.
+    """
+    t0 = time.time()
+    src = spark.read.parquet(input_path).select(*INPUT_COLS)
+    df = _with_bucket(src, n_buckets)
+
+    done = completed_buckets(spark, output_dir)
+    if done is not None:
+        # broadcast: the done-set is ≤ n_buckets rows — never a shuffle
+        df = df.join(F.broadcast(done), "bucket_id", "left_anti")
+        if done.count() >= n_buckets or df.isEmpty():
+            # fully-drained table: no-op resume
+            return {"buckets_done": 0, "turns": 0, "elapsed_sec":
+                    round(time.time() - t0, 3), "run_id": run_id, "resumed": True}
+
+    if max_buckets is not None:
+        pending = sorted(
+            r.bucket_id for r in df.select("bucket_id").distinct().collect()
+        )[:max_buckets]
+        if not pending:
+            return {"buckets_done": 0, "turns": 0, "elapsed_sec": 0.0,
+                    "run_id": run_id, "resumed": done is not None}
+        df = df.filter(F.col("bucket_id").isin(pending))
+
+    work = (
+        df.withColumn(
+            "slice_id", (F.col("turn_idx") / F.lit(turns_per_slice)).cast("int")
+        )
+        .repartition(n_buckets, "conv_id", "slice_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .drop("slice_id")
+    )
+    out = extract_map_in_arrow(work, text_col="text").drop("text")
+    tableio.write_partitioned(out, turns_path(output_dir), ["bucket_id"])
+
+    # lineage + metrics from what actually landed (write-then-commit:
+    # a crash before this append leaves the bucket pending → re-run
+    # overwrites the same partition, so the sink stays idempotent)
+    written = spark.read.parquet(turns_path(output_dir))
+    if done is not None:
+        written = written.join(F.broadcast(done), "bucket_id", "left_anti")
+    if max_buckets is not None:
+        written = written.filter(F.col("bucket_id").isin(pending))
+    metrics = written.groupBy("bucket_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("n_nodes").alias("nodes_classified"),
+        F.sum("n_spans").alias("spans_emitted"),
+        F.sum("n_bytes").alias("bytes_processed"),
+    ).select(
+        F.lit(run_id).cast("long").alias("run_id"),
+        "bucket_id", "n_turns", "nodes_classified", "spans_emitted",
+        "bytes_processed",
+        F.lit("done").alias("status"),
+        F.current_timestamp().alias("committed_at"),
+    )
+    tableio.idempotent_append(spark, metrics, checkpoint_path(output_dir),
+                              keys=["bucket_id"])
+
+    summary = metrics.agg(
+        F.count("*").alias("b"), F.sum("n_turns").alias("t")
+    ).collect()[0]
+    return {
+        "buckets_done": summary["b"] or 0,
+        "turns": summary["t"] or 0,
+        "elapsed_sec": round(time.time() - t0, 3),
+        "run_id": run_id,
+        "resumed": done is not None,
+    }
+
+
+def read_extracted(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.parquet(turns_path(output_dir))

@@ -1,0 +1,97 @@
+"""End-to-end Spark pipeline: per-turn equality vs golden, stable ordering,
+checkpoint/resume at partition granularity, idempotent re-run."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from deepseek_ocr_vllm_spark import pipeline
+from deepseek_ocr_vllm_spark.extraction import golden
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, transcripts_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out") / "run")
+    summary = pipeline.run_extraction(spark, transcripts_path, out,
+                                      n_buckets=16, run_id=1)
+    return out, summary
+
+
+def test_pipeline_runs_all_turns(spark, transcripts_pdf, extracted):
+    out, summary = extracted
+    assert summary["turns"] == len(transcripts_pdf)
+    df = pipeline.read_extracted(spark, out)
+    assert df.count() == len(transcripts_pdf)
+
+
+def test_per_turn_text_equality_vs_golden(spark, transcripts_pdf, extracted):
+    """THE correctness gate: Spark output == golden extractor, per turn,
+    under stable (conv_id, turn_idx) ordering."""
+    out, _ = extracted
+    got = (
+        pipeline.read_extracted(spark, out)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "clean_text", "spans",
+                "n_nodes", "n_spans", "n_bytes", "kind")
+        .collect()
+    )
+    want = transcripts_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for i, row in enumerate(got):
+        g = golden.extract_turn(want.loc[i, "text"])
+        assert row.conv_id == want.loc[i, "conv_id"]
+        assert row.turn_idx == want.loc[i, "turn_idx"]
+        assert row.clean_text == g["clean_text"], (row.conv_id, row.turn_idx)
+        assert [(s.start, s.end, s.label) for s in row.spans] == [
+            (d["start"], d["end"], d["label"]) for d in g["spans"]
+        ]
+        assert (row.n_nodes, row.n_spans, row.n_bytes, row.kind) == (
+            g["n_nodes"], g["n_spans"], g["n_bytes"], g["kind"]
+        )
+
+
+def test_checkpoint_metrics_match_output(spark, extracted):
+    out, _ = extracted
+    ckpt = spark.read.parquet(pipeline.checkpoint_path(out))
+    agg = ckpt.agg(F.sum("n_turns"), F.sum("spans_emitted")).collect()[0]
+    df = pipeline.read_extracted(spark, out)
+    real = df.agg(F.count("*"), F.sum("n_spans")).collect()[0]
+    assert agg[0] == real[0]
+    assert agg[1] == real[1]
+    assert ckpt.filter(F.col("status") != "done").count() == 0
+
+
+def test_resume_from_partial_run(spark, transcripts_path, transcripts_pdf, tmp_path_factory):
+    """Kill-then-resume: first wave processes 5 buckets, resume drains the
+    rest; no duplicates, no gaps; completed buckets are not re-extracted."""
+    out = str(tmp_path_factory.mktemp("out") / "resume")
+    s1 = pipeline.run_extraction(spark, transcripts_path, out,
+                                 n_buckets=16, run_id=1, max_buckets=5)
+    assert s1["buckets_done"] == 5
+    assert 0 < s1["turns"] < len(transcripts_pdf)
+
+    s2 = pipeline.run_extraction(spark, transcripts_path, out,
+                                 n_buckets=16, run_id=2)
+    assert s2["resumed"] is True
+    assert s1["turns"] + s2["turns"] == len(transcripts_pdf)
+
+    df = pipeline.read_extracted(spark, out)
+    assert df.count() == len(transcripts_pdf)
+    dups = df.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+    assert dups == 0
+
+    # fully-done table: a third run is a no-op
+    s3 = pipeline.run_extraction(spark, transcripts_path, out,
+                                 n_buckets=16, run_id=3)
+    assert s3["turns"] == 0
+    assert pipeline.read_extracted(spark, out).count() == len(transcripts_pdf)
+
+
+def test_bucket_assignment_is_deterministic(spark, transcripts_path, extracted):
+    out, _ = extracted
+    df = pipeline.read_extracted(spark, out)
+    # one conv_id never straddles buckets
+    n = df.groupBy("conv_id").agg(F.countDistinct("bucket_id").alias("nb")) \
+          .filter("nb > 1").count()
+    assert n == 0
