@@ -1,0 +1,115 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, schema
+(column names), and order-insensitive canonicalized values.
+
+Usage: python tools/check_oracle.py [query_name ...] [--sf /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import decimal
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.12g}"
+    if isinstance(v, decimal.Decimal):
+        return f"{float(v):.12g}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from deepseek_ocr_vllm_spark.plans.queries import REGISTRY, TABLES
+    from deepseek_ocr_vllm_spark.session import get_spark
+
+    spark = get_spark(app_name="check_oracle", master="local[8]",
+                      shuffle_partitions=8)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{args.sf}/{name}.parquet')"
+        )
+
+    names = args.names or list(REGISTRY)
+    n_fail = 0
+    for name in names:
+        fn, sql = REGISTRY[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf)
+            s_cols = list(sdf.columns)
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if sql is None:
+            print(f"SKIP {name}: no oracle (rows-only check) rows={len(s_rows)}")
+            continue
+        try:
+            cur = con.execute(sql)
+            d_cols = [d[0] for d in cur.description]
+            d_rows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        sc, sr = canon_rows(s_cols, s_rows)
+        dc, dr = canon_rows(d_cols, d_rows)
+        ok = True
+        if sc != dc:
+            print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
+            ok = False
+        elif len(sr) != len(dr):
+            print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(dr)}")
+            ok = False
+        elif sr != dr:
+            diffs = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b][:3]
+            print(f"FAIL {name}: values differ at sorted rows {diffs}")
+            for i in diffs:
+                print(f"  spark: {sr[i]}")
+                print(f"  duck : {dr[i]}")
+            ok = False
+        if ok:
+            print(f"OK   {name}: rows={len(sr)} ({time.time()-t0:.1f}s)")
+        else:
+            n_fail += 1
+    print(f"\n{len(names) - n_fail}/{len(names)} passed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
