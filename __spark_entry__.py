@@ -69,12 +69,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from deepseek_ocr_vllm_spark.plans.queries import REGISTRY
+    from deepseek_ocr_vllm_spark.plans import REGISTRY
 
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from deepseek_ocr_vllm_spark.plans.queries import REGISTRY
+    from deepseek_ocr_vllm_spark.plans import REGISTRY
 
     return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

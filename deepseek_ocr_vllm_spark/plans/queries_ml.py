@@ -1,0 +1,503 @@
+"""Training-data-pipeline operators: deduplication, similarity search,
+text analysis. Each is a queries()/oracle_sql() pair over the documents /
+embeddings tables.
+
+Cross-engine hash-stability tricks used here:
+  * float dot products quantize each elementwise product to DECIMAL(18,9)
+    before summing — the sum is then exact and order-independent, so Spark
+    and DuckDB produce bit-identical doubles at the end
+  * MinHash permutations are min() over md5 hex STRINGS (lexicographic min
+    of hex == numeric min) — portable, no engine-specific hash()
+  * SimHash bits come from md5 nibbles via instr('0123456789abcdef', ...),
+    identical SQL semantics in both engines
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .queries import q, t
+
+# ------------------------------------------------------------------ dedup
+
+@q(
+    "dd_exact",
+    """
+    SELECT text_sha, n_copies, canonical_doc_id FROM (
+      SELECT md5(substr(text, 1, 12)) AS text_sha,
+             COUNT(*) AS n_copies,
+             MIN(doc_id) AS canonical_doc_id
+      FROM documents GROUP BY 1
+    ) WHERE n_copies > 1
+    ORDER BY text_sha
+    """,
+)
+def dd_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, keep min-id canonical row (SURVEY §2.5 W1
+    family; at 100 TB this is one shuffle on the hash — prefix-hash here
+    because the synthetic corpus has no full-text dups)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.substring("text", 1, 12)).alias("text_sha"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter("n_copies > 1")
+        .orderBy("text_sha")
+    )
+
+
+_SHINGLE_SQL_DUCK = """
+  SELECT doc_id, unnest(list_transform(
+           range(1, len(ws) - 1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE doc_id < 150)
+  WHERE len(ws) >= 3
+"""
+
+
+def _shingles(spark, sf_dir, max_doc: int = 150):
+    """Word-trigram shingles, 1-indexed windows — mirrors the DuckDB CTE."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < max_doc)
+    ws = F.split("text", " ")
+    return (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("ws", i),
+                        F.element_at("ws", i + 1),
+                        F.element_at("ws", i + 2),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+@q(
+    "dd_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL_DUCK}),
+    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.03
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200
+    """,
+)
+def dd_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup: shingle → self-join on shingle → |∩|/|∪|.
+    Scale path: the shingle equi-join shuffles on the shingle hash; hot
+    shingles are the skew risk → drop ultra-frequent shingles upstream
+    (here the corpus is small enough not to)."""
+    ds = _shingles(spark, sf_dir).distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    )
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.03)
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(200)
+    )
+
+
+N_MINHASH = 6
+N_BANDS = 3  # 2 rows per band
+
+
+@q(
+    "dd_minhash_lsh",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL_DUCK}),
+    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    mh AS (
+      SELECT doc_id, j, MIN(md5(shingle || ':' || CAST(j AS VARCHAR))) AS h
+      FROM ds CROSS JOIN range({N_MINHASH}) r(j)
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, CAST(FLOOR(j / 2) AS INTEGER) AS band_id,
+             string_agg(h, '|' ORDER BY j) AS band_key
+      FROM mh GROUP BY doc_id, CAST(FLOOR(j / 2) AS INTEGER)
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared_bands FROM cand
+    ORDER BY n_shared_bands DESC, doc_a, doc_b LIMIT 200
+    """,
+)
+def dd_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle → K min-hashes (min over md5 strings:
+    engine-portable 'permutations') → band keys → bucket self-join.
+    At scale only the tiny band table self-joins — never the corpus."""
+    ds = _shingles(spark, sf_dir).distinct()
+    mh = (
+        ds.crossJoin(
+            spark.range(N_MINHASH).select(F.col("id").cast("int").alias("j"))
+        )
+        .groupBy("doc_id", "j")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("shingle"), F.lit(":"), F.col("j").cast("string")))
+            ).alias("h")
+        )
+    )
+    bands = (
+        mh.withColumn("band_id", (F.col("j") / 2).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list(F.struct("j", "h"))).h, "|")
+            .alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+        .orderBy(F.desc("n_shared_bands"), "doc_a", "doc_b")
+        .limit(200)
+    )
+
+
+_NIBBLE_BIT = (
+    "(instr('0123456789abcdef', substr(md5(w), {j}, 1)) - 1) % 2"
+)
+
+
+def _simhash_sql(engine: str) -> str:
+    """16-bit SimHash over word tokens; identical nibble math both engines."""
+    if engine == "duck":
+        toks = ("SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+                "FROM documents WHERE doc_id < 200")
+        jgen = "CROSS JOIN range(1, 17) r(j)"
+        xor = "bit_count(xor(a.simhash, b.simhash))"
+    else:
+        toks = ("SELECT doc_id, explode(split(text, ' ')) AS w "
+                "FROM documents WHERE doc_id < 200")
+        jgen = "LATERAL VIEW explode(sequence(1, 16)) r AS j"
+        xor = "bit_count(a.simhash ^ b.simhash)"
+    return f"""
+    WITH toks AS ({toks}),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (instr('0123456789abcdef', substr(md5(w), j, 1)) - 1) % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM toks {jgen}
+      GROUP BY doc_id, j
+    ),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {xor} AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {xor} <= 4
+    ORDER BY hamming, doc_a, doc_b LIMIT 200
+    """
+
+
+@q("dd_simhash", _simhash_sql("duck"))
+def dd_simhash(spark, sf_dir):
+    """SimHash near-dup: per-token md5-nibble bits → signed bit sums →
+    16-bit signature → low-Hamming pairs. Declarative SQL end to end
+    (no UDF): Catalyst plans the token explode + two aggregations."""
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_simhash_sql("spark"))
+
+
+# ------------------------------------------------------- embedding space
+
+_DOT_DECIMAL = """
+      CAST(SUM(CAST(CAST(a.embedding[i.i] AS DOUBLE)
+                    * CAST(b.embedding[i.i] AS DOUBLE) AS DECIMAL(18,9)))
+           AS DOUBLE)
+"""
+
+
+@q(
+    "dd_embed_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 200),
+    norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE)
+                                * CAST(embedding[i.i] AS DOUBLE)
+                                AS DECIMAL(18,9))) AS DOUBLE)) AS nrm
+      FROM e CROSS JOIN range(1, 65) i(i) GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_DOT_DECIMAL} AS dot
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      CROSS JOIN range(1, 65) i(i)
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(dot / na.nrm / nb.nrm, 6) AS cosine
+    FROM dots JOIN norms na ON na.vec_id = vec_a
+              JOIN norms nb ON nb.vec_id = vec_b
+    WHERE dot / na.nrm / nb.nrm >= 0.35
+    ORDER BY cosine DESC, vec_a, vec_b LIMIT 200
+    """,
+)
+def dd_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs. Elementwise products quantized to
+    DECIMAL(18,9) before the sum → order-independent, bit-identical across
+    engines. Spark side folds the zipped arrays (no explode — one row per
+    pair, JVM higher-order functions)."""
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+
+    def dot_dec(x, y):
+        prod = F.zip_with(
+            x, y, lambda p, r: (p.cast("double") * r.cast("double")).cast("decimal(18,9)")
+        )
+        return F.aggregate(
+            prod,
+            F.lit(0).cast("decimal(38,9)"),
+            lambda acc, v: (acc + v).cast("decimal(38,9)"),
+        ).cast("double")
+
+    norms = e.select(
+        "vec_id", F.sqrt(dot_dec(F.col("embedding"), F.col("embedding"))).alias("nrm")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dots = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        dot_dec(F.col("a.embedding"), F.col("b.embedding")).alias("dot"),
+    )
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    cos = F.col("dot") / F.col("na.nrm") / F.col("nb.nrm")
+    return (
+        dots.join(na, F.col("na.vec_id") == F.col("vec_a"))
+        .join(nb, F.col("nb.vec_id") == F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .filter(cos >= 0.35)
+        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
+        .limit(200)
+    )
+
+
+@q(
+    "sim_topk_bruteforce",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE)
+                                * CAST(embedding[i.i] AS DOUBLE)
+                                AS DECIMAL(18,9))) AS DOUBLE)) AS nrm
+      FROM e CROSS JOIN range(1, 65) i(i) GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT b.vec_id,
+             CAST(SUM(CAST(CAST(q.embedding[i.i] AS DOUBLE)
+                           * CAST(b.embedding[i.i] AS DOUBLE)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS dot
+      FROM qv q CROSS JOIN e b CROSS JOIN range(1, 65) i(i)
+      WHERE b.vec_id <> 0
+      GROUP BY b.vec_id
+    )
+    SELECT d.vec_id, ROUND(d.dot / nq.nrm / nb.nrm, 6) AS cosine
+    FROM dots d
+    JOIN norms nb ON nb.vec_id = d.vec_id
+    CROSS JOIN (SELECT nrm FROM norms WHERE vec_id = 0) nq
+    ORDER BY cosine DESC, d.vec_id LIMIT 10
+    """,
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: broadcast the single query
+    vector against every embedding (one scan, no shuffle until the final
+    top-k which is TakeOrderedAndProject)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def dot_dec(x, y):
+        prod = F.zip_with(
+            x, y, lambda p, r: (p.cast("double") * r.cast("double")).cast("decimal(18,9)")
+        )
+        return F.aggregate(
+            prod,
+            F.lit(0).cast("decimal(38,9)"),
+            lambda acc, v: (acc + v).cast("decimal(38,9)"),
+        ).cast("double")
+
+    qv = e.filter("vec_id = 0").select(F.col("embedding").alias("q_embedding"))
+    scored = (
+        e.filter("vec_id <> 0")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            dot_dec(F.col("q_embedding"), F.col("embedding")).alias("dot"),
+            F.sqrt(dot_dec(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+            F.sqrt(dot_dec(F.col("q_embedding"), F.col("q_embedding"))).alias("qnrm"),
+        )
+    )
+    return (
+        scored.select(
+            "vec_id",
+            F.round(F.col("dot") / F.col("qnrm") / F.col("nrm"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+_IVF_DUCK = """
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    cent AS (
+      SELECT label, i.i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(18,9)))
+                  AS DOUBLE) / COUNT(*) AS c
+      FROM e CROSS JOIN range(1, 65) i(i) GROUP BY label, i.i
+    ),
+    qe AS (
+      SELECT i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS qv
+      FROM e CROSS JOIN range(1, 65) i(i) WHERE vec_id = 0
+    ),
+    label_scores AS (
+      SELECT c.label,
+             CAST(SUM(CAST(q.qv * c.c AS DECIMAL(18,9))) AS DOUBLE) AS score
+      FROM cent c JOIN qe q ON c.pos = q.pos GROUP BY c.label
+    ),
+    top_labels AS (
+      SELECT label FROM label_scores ORDER BY score DESC, label LIMIT 2
+    ),
+    cand AS (
+      SELECT e.vec_id, e.label, e.embedding FROM e
+      WHERE e.label IN (SELECT label FROM top_labels) AND e.vec_id <> 0
+    ),
+    qv AS (SELECT embedding FROM e WHERE vec_id = 0),
+    norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE)
+                                * CAST(embedding[i.i] AS DOUBLE)
+                                AS DECIMAL(18,9))) AS DOUBLE)) AS nrm
+      FROM cand CROSS JOIN range(1, 65) i(i) GROUP BY vec_id
+    ),
+    qnorm AS (
+      SELECT sqrt(CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE)
+                                * CAST(embedding[i.i] AS DOUBLE)
+                                AS DECIMAL(18,9))) AS DOUBLE)) AS qnrm
+      FROM qv CROSS JOIN range(1, 65) i(i)
+    ),
+    dots AS (
+      SELECT b.vec_id, b.label,
+             CAST(SUM(CAST(CAST(q.embedding[i.i] AS DOUBLE)
+                           * CAST(b.embedding[i.i] AS DOUBLE)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS dot
+      FROM qv q CROSS JOIN cand b CROSS JOIN range(1, 65) i(i)
+      GROUP BY b.vec_id, b.label
+    )
+    SELECT d.vec_id, d.label,
+           ROUND(d.dot / q.qnrm / n.nrm, 6) AS cosine
+    FROM dots d JOIN norms n ON n.vec_id = d.vec_id CROSS JOIN qnorm q
+    ORDER BY cosine DESC, d.vec_id LIMIT 10
+"""
+
+
+@q("sim_ivf_topk", _IVF_DUCK)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (scale path): per-label centroids = coarse
+    quantizer; probe the 2 nearest centroids, brute-force only inside those
+    buckets. At 100 TB the candidate set shrinks ~5x per probed bucket and
+    the centroid table broadcasts."""
+    e = t(spark, sf_dir, "embeddings")
+
+    def dot_dec(x, y):
+        prod = F.zip_with(
+            x, y, lambda p, r: (p.cast("double") * r.cast("double")).cast("decimal(18,9)")
+        )
+        return F.aggregate(
+            prod,
+            F.lit(0).cast("decimal(38,9)"),
+            lambda acc, v: (acc + v).cast("decimal(38,9)"),
+        ).cast("double")
+
+    ex = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    cent = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    qe = ex.filter("vec_id = 0").select("pos", F.col("v").cast("double").alias("qv"))
+    label_scores = (
+        cent.join(qe, "pos")
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("qv") * F.col("c")).cast("decimal(18,9)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    top_labels = label_scores.orderBy(F.desc("score"), "label").limit(2).select("label")
+    cand = e.join(F.broadcast(top_labels), "label", "left_semi").filter("vec_id <> 0")
+    qv = e.filter("vec_id = 0").select(F.col("embedding").alias("q_embedding"))
+    scored = cand.crossJoin(F.broadcast(qv)).select(
+        "vec_id", "label",
+        dot_dec(F.col("q_embedding"), F.col("embedding")).alias("dot"),
+        F.sqrt(dot_dec(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.sqrt(dot_dec(F.col("q_embedding"), F.col("q_embedding"))).alias("qnrm"),
+    )
+    return (
+        scored.select(
+            "vec_id", "label",
+            F.round(F.col("dot") / F.col("qnrm") / F.col("nrm"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )

@@ -1,0 +1,50 @@
+"""Streaming + multimodal queries() entries.
+
+stream_window_counts has a SQL oracle (tumbling window == floor-epoch
+bucketing); mm_media_features is rows-only (its decode stage is a
+clearly-marked deterministic stub over mapInPandas — not SQL-expressible
+by design, the point is the Arrow/binary plumbing).
+"""
+
+from __future__ import annotations
+
+from .queries import q, t
+
+
+@q(
+    "stream_window_counts",
+    """
+    SELECT strftime(to_timestamp(floor(epoch(ts) / 300) * 300),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_window_counts(spark, sf_dir):
+    """Structured Streaming tumbling-window agg drained synchronously;
+    equals the batch GROUP BY on floor-epoch buckets (SURVEY §2.10: the
+    reference streams are micro-batches made effectively-once — complete
+    mode replay gives the same determinism here)."""
+    from ..streaming.microbatch import windowed_event_counts
+
+    return windowed_event_counts(spark, sf_dir)
+
+
+@q("mm_media_features", None)
+def mm_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload + metadata struct →
+    mapInPandas feature extraction (deterministic stub decoder —
+    operators/multimodal.py)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import attach_binary_payload, extract_media_features
+
+    docs = t(spark, sf_dir, "documents")
+    feats = extract_media_features(attach_binary_payload(docs))
+    return feats.select(
+        "doc_id", "content_type", "size_bytes", "sha16", "width", "height",
+        "n_frames",
+        F.round(F.element_at("byte_hist", 2), 6).alias("hist_b1"),
+    ).orderBy("doc_id")

@@ -1,0 +1,454 @@
+"""Text analysis + scalar-function battery + reconciliation diff.
+
+Implements the F-series scalar inventory (SURVEY §2.8), the reconciliation
+diff classifier (J5/A7/A8 — the reference's core test harness,
+scripts/reconciliation/phase_b_diff.py), language-ID / quality / token
+metrics for a training-data pipeline, and an IVF-style bucketed ANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import dec, q, t
+
+# --------------------------------------------------------- F-series battery
+
+_NULL_TOKENS = "('N/A','NA','NONE','NULL','','-','—','UNK')"
+
+
+@q(
+    "f_string_battery",
+    f"""
+    SELECT doc_id,
+           trim(regexp_replace(upper(source), '[^A-Z0-9]+', '_', 'g'), '_')
+             AS canon_source,
+           CASE WHEN upper(trim(lang)) IN {_NULL_TOKENS}
+                THEN '<NULL>' ELSE lang END AS lang_canon,
+           lower(regexp_replace(substr(text, 1, 30), '[^a-zA-Z0-9]+', '-', 'g'))
+             AS slug,
+           substr(sha256(text), 1, 16) AS sha16,
+           levenshtein(lang, 'en') AS lev_en,
+           1.0 - CAST(levenshtein(lang, 'en') AS DOUBLE)
+               / greatest(length(lang), 2) AS lev_sim,
+           concat_ws('||', upper(source), upper(lang),
+                     CAST(n_chars AS VARCHAR)) AS composite_key,
+           substr(regexp_replace(replace(text, '&', ' AND '),
+                  '\\s+', ' ', 'g'), 1, 40) AS norm_prefix
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+)
+def f_string_battery(spark, sf_dir):
+    """F1 canon_col_name, F2/F3 null canonicalization, F24 slugify,
+    F16 sha-256, F17 levenshtein similarity, F20 composite key assembly,
+    F12 normalizers — all JVM-side built-ins, zero Python."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    lang_u = F.upper(F.trim(F.col("lang")))
+    null_toks = ["N/A", "NA", "NONE", "NULL", "", "-", "—", "UNK"]
+    return d.select(
+        "doc_id",
+        F.expr("trim(BOTH '_' FROM regexp_replace(upper(source), '[^A-Z0-9]+', '_'))")
+        .alias("canon_source"),
+        F.when(lang_u.isin(null_toks), F.lit("<NULL>"))
+        .otherwise(F.col("lang"))
+        .alias("lang_canon"),
+        F.lower(
+            F.regexp_replace(F.substring("text", 1, 30), "[^a-zA-Z0-9]+", "-")
+        ).alias("slug"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("sha16"),
+        F.levenshtein("lang", F.lit("en")).alias("lev_en"),
+        (
+            F.lit(1.0)
+            - F.levenshtein("lang", F.lit("en")).cast("double")
+            / F.greatest(F.length("lang"), F.lit(2))
+        ).alias("lev_sim"),
+        F.concat_ws(
+            "||", F.upper("source"), F.upper("lang"),
+            F.col("n_chars").cast("string"),
+        ).alias("composite_key"),
+        F.substring(
+            F.regexp_replace(
+                F.regexp_replace("text", "&", " AND "), r"\s+", " "
+            ),
+            1, 40,
+        ).alias("norm_prefix"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "f_date_coercion",
+    r"""
+    WITH src AS (
+      SELECT o_orderkey,
+             CASE CAST(o_orderkey % 3 AS INTEGER)
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+               ELSE strftime(o_orderdate, '%d/%m/%Y') END AS raw,
+             CAST(o_orderkey % 3 AS INTEGER) AS fmt
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey, raw,
+           strftime(COALESCE(
+             try_strptime(raw, '%Y-%m-%d'),
+             CASE WHEN fmt = 1 THEN try_strptime(raw, '%m/%d/%Y')
+                  ELSE try_strptime(raw, '%d/%m/%Y') END), '%Y-%m-%d')
+             AS parsed_iso,
+           CASE WHEN try_strptime(raw, '%m/%d/%Y') IS NOT NULL
+                 AND try_strptime(raw, '%d/%m/%Y') IS NOT NULL
+                 AND try_strptime(raw, '%m/%d/%Y') <> try_strptime(raw, '%d/%m/%Y')
+                THEN TRUE ELSE FALSE END AS scheme_ambiguous
+    FROM src ORDER BY o_orderkey
+    """,
+)
+def f_date_coercion(spark, sf_dir):
+    """F8 multi-format date coercion (processor.go:250-266 format chain) +
+    F9 dual-scheme month-first/day-first ambiguity flag
+    (phase_b_diff.py:694-769). try_to_date chain = the COALESCE ladder."""
+    o = t(spark, sf_dir, "orders").filter("o_orderkey < 2000")
+    fmt = (F.col("o_orderkey") % 3).cast("int")
+    raw = (
+        F.when(fmt == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(fmt == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .otherwise(F.date_format("o_orderdate", "dd/MM/yyyy"))
+    )
+    src = o.select("o_orderkey", raw.alias("raw"), fmt.alias("fmt"))
+    md = F.try_to_timestamp(F.col("raw"), F.lit("MM/dd/yyyy"))
+    dm = F.try_to_timestamp(F.col("raw"), F.lit("dd/MM/yyyy"))
+    iso = F.try_to_timestamp(F.col("raw"), F.lit("yyyy-MM-dd"))
+    parsed = F.coalesce(iso, F.when(F.col("fmt") == 1, md).otherwise(dm))
+    return src.select(
+        "o_orderkey",
+        "raw",
+        F.date_format(parsed, "yyyy-MM-dd").alias("parsed_iso"),
+        (md.isNotNull() & dm.isNotNull() & (md != dm)).alias("scheme_ambiguous"),
+    ).orderBy("o_orderkey")
+
+
+# ------------------------------------------------------ reconciliation diff
+
+_RECON_TMPL = """
+    WITH base AS (
+      SELECT c_custkey AS row_index,
+             CASE WHEN c_custkey % 5 <> 0 THEN c_name END AS join_key,
+             concat(CAST(c_nationkey AS {S}), '||', c_mktsegment)
+               AS composite_key,
+             'acctbal' AS column_name,
+             CASE WHEN c_custkey % 13 = 0 THEN NULL
+                  ELSE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS {S}) END AS value
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 <> 0 THEN c_name END,
+             concat(CAST(c_nationkey AS {S}), '||', c_mktsegment),
+             'mktsegment', c_mktsegment
+      FROM customer
+    ),
+    pipe_raw AS (
+      SELECT c_custkey AS row_index,
+             CASE WHEN c_custkey % 5 <> 0 THEN c_name END AS join_key,
+             concat(CAST(c_nationkey AS {S}), '||', c_mktsegment)
+               AS composite_key,
+             'acctbal' AS column_name,
+             CASE WHEN c_custkey % 11 = 0
+                  THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 1 AS {S})
+                  ELSE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS {S}) END AS value
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 <> 0 THEN c_name END,
+             concat(CAST(c_nationkey AS {S}), '||', c_mktsegment),
+             'mktsegment',
+             CASE WHEN c_custkey % 7 = 0 THEN 'N/A' ELSE c_mktsegment END
+      FROM customer
+    ),
+    pipe AS (
+      SELECT row_index, join_key, composite_key, column_name,
+             CASE WHEN upper(coalesce(value, '')) IN
+                  ('N/A','NA','NONE','NULL','','-') THEN NULL
+                  ELSE value END AS value
+      FROM pipe_raw
+    ),
+    b1 AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY join_key, column_name) AS c
+        FROM base WHERE join_key IS NOT NULL) WHERE c = 1
+    ),
+    p1 AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY join_key, column_name) AS c
+        FROM pipe WHERE join_key IS NOT NULL) WHERE c = 1
+    ),
+    s1 AS (
+      SELECT b.row_index AS b_row, p.row_index AS p_row, b.column_name,
+             b.value AS b_val, p.value AS p_val, 'join_key' AS strategy
+      FROM b1 b JOIN p1 p USING (join_key, column_name)
+    ),
+    lb1 AS (
+      SELECT * FROM base b WHERE NOT EXISTS (
+        SELECT 1 FROM s1 WHERE s1.b_row = b.row_index
+                           AND s1.column_name = b.column_name)
+    ),
+    lp1 AS (
+      SELECT * FROM pipe p WHERE NOT EXISTS (
+        SELECT 1 FROM s1 WHERE s1.p_row = p.row_index
+                           AND s1.column_name = p.column_name)
+    ),
+    b2 AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY composite_key, column_name) AS c
+        FROM lb1 WHERE composite_key IS NOT NULL) WHERE c = 1
+    ),
+    p2 AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY composite_key, column_name) AS c
+        FROM lp1 WHERE composite_key IS NOT NULL) WHERE c = 1
+    ),
+    s2 AS (
+      SELECT b.row_index AS b_row, p.row_index AS p_row, b.column_name,
+             b.value AS b_val, p.value AS p_val, 'composite_key' AS strategy
+      FROM b2 b JOIN p2 p USING (composite_key, column_name)
+    ),
+    lb2 AS (
+      SELECT * FROM lb1 b WHERE NOT EXISTS (
+        SELECT 1 FROM s2 WHERE s2.b_row = b.row_index
+                           AND s2.column_name = b.column_name)
+    ),
+    lp2 AS (
+      SELECT * FROM lp1 p WHERE NOT EXISTS (
+        SELECT 1 FROM s2 WHERE s2.p_row = p.row_index
+                           AND s2.column_name = p.column_name)
+    ),
+    s3 AS (
+      SELECT coalesce(b.row_index, p.row_index) AS b_row,
+             coalesce(p.row_index, b.row_index) AS p_row,
+             coalesce(b.column_name, p.column_name) AS column_name,
+             b.value AS b_val, p.value AS p_val, 'row_index' AS strategy
+      FROM lb2 b FULL OUTER JOIN lp2 p
+        ON b.row_index = p.row_index AND b.column_name = p.column_name
+    ),
+    allcells AS (
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+    ),
+    classified AS (
+      SELECT column_name, strategy,
+             CASE WHEN b_val IS NULL AND p_val IS NULL THEN 'match_null'
+                  WHEN b_val = p_val THEN 'match_value'
+                  WHEN b_val IS NULL THEN 'info_gain'
+                  WHEN p_val IS NULL THEN 'info_loss'
+                  ELSE 'changed_value' END AS diff_class
+      FROM allcells
+    )
+    SELECT column_name, strategy, diff_class, COUNT(*) AS n
+    FROM classified GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+_RECON_DUCK = _RECON_TMPL.format(S="VARCHAR")
+_RECON_SPARK = _RECON_TMPL.format(S="STRING")
+
+
+@q("j5_reconciliation_diff", _RECON_DUCK)
+def j5_reconciliation_diff(spark, sf_dir):
+    """J5+A7+A8: the reference's 3-stage keyed reconciliation diff
+    (phase_b_diff.py:500-629): join_key stage (dup keys excluded via
+    window-count=1, :519-532) → composite_key stage on leftovers →
+    row_index full-outer fallback; cells classified into the null-aware
+    diff classes (:842-870) and counted per column × alignment strategy
+    (:872-914). Baseline/pipeline derived deterministically from customer
+    with seeded perturbations + null-token canonicalization (F2/P3)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_RECON_SPARK)
+
+
+# ------------------------------------------------------------ text analysis
+
+_STOP_EN = "('the','a','of','and','to','in','is','for','on','with')"
+_STOP_ES = "('el','la','de','y','en','es','un','que','los','del')"
+_STOP_DE = "('der','die','das','und','zu','ist','ein','den','von','mit')"
+
+
+@q(
+    "tx_langid",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), w -> w IN {_STOP_EN})) AS hits_en,
+             len(list_filter(string_split(text, ' '), w -> w IN {_STOP_ES})) AS hits_es,
+             len(list_filter(string_split(text, ' '), w -> w IN {_STOP_DE})) AS hits_de
+      FROM documents
+    )
+    SELECT doc_id, lang, hits_en, hits_es, hits_de,
+           CASE WHEN hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
+                WHEN hits_es >= hits_de THEN 'es'
+                ELSE 'de' END AS lang_pred
+    FROM scored ORDER BY doc_id
+    """,
+)
+def tx_langid(spark, sf_dir):
+    """Language-ID by stopword-hit scoring (n-gram heuristic family) —
+    higher-order array functions, JVM-side, no UDF."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    en = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+    es = ["el", "la", "de", "y", "en", "es", "un", "que", "los", "del"]
+    de = ["der", "die", "das", "und", "zu", "ist", "ein", "den", "von", "mit"]
+
+    def hits(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
+
+    scored = d.select(
+        "doc_id", "lang",
+        hits(en).alias("hits_en"),
+        hits(es).alias("hits_es"),
+        hits(de).alias("hits_de"),
+    )
+    return scored.select(
+        "*",
+        F.when(
+            (F.col("hits_en") >= F.col("hits_es"))
+            & (F.col("hits_en") >= F.col("hits_de")),
+            F.lit("en"),
+        )
+        .when(F.col("hits_es") >= F.col("hits_de"), F.lit("es"))
+        .otherwise(F.lit("de"))
+        .alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "tx_quality",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+             len(list_filter(string_split(text, ' '), w -> w IN {_STOP_EN}))
+               AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_words,
+           ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) AS stop_ratio,
+           CASE WHEN n_words >= 50
+                 AND CAST(n_stop AS DOUBLE) / greatest(n_words, 1) >= 0.05
+                THEN 'high'
+                WHEN n_words >= 10 THEN 'medium' ELSE 'low' END AS quality
+    FROM m ORDER BY doc_id
+    """,
+)
+def tx_quality(spark, sf_dir):
+    """Quality scoring: length / punctuation / stopword ratios → bucket
+    (training-data filtering heuristic)."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    en = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+    arr = F.array(*[F.lit(w) for w in en])
+    m = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(ws).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), F.lit(0)))
+        .alias("n_punct"),
+        F.size(F.filter(ws, lambda w: F.array_contains(arr, w))).alias("n_stop"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.greatest(F.col("n_words"), F.lit(1))
+    return m.select(
+        "doc_id", "n_chars", "n_words",
+        F.round(
+            F.col("n_punct").cast("double") / F.greatest(F.col("n_chars"), F.lit(1)), 6
+        ).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.when((F.col("n_words") >= 50) & (stop_ratio >= 0.05), F.lit("high"))
+        .when(F.col("n_words") >= 10, F.lit("medium"))
+        .otherwise(F.lit("low"))
+        .alias("quality"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "tx_tokens",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS bpe_ish_tokens,
+           ROUND(CAST(length(text) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(
+                     text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1), 6)
+             AS chars_per_token
+    FROM documents ORDER BY doc_id
+    """,
+)
+def tx_tokens(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex tokens
+    (letters | digits | single punctuation) + chars/token."""
+    d = t(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    bpe = F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        F.round(
+            F.length("text").cast("double") / F.greatest(bpe, F.lit(1)), 6
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "tx_fingerprint",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, len(ws) - 1),
+               i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS h
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      WHERE len(ws) >= 3
+    ),
+    ranked AS (
+      SELECT doc_id, h,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+      FROM (SELECT DISTINCT doc_id, h FROM sh)
+    )
+    SELECT doc_id, string_agg(h, '|' ORDER BY h) AS fingerprint
+    FROM ranked WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def tx_fingerprint(spark, sf_dir):
+    """Document fingerprinting: min-3 shingle-hash sketch (winnowing-style
+    rolling-hash family) — near-dup docs share fingerprint prefixes."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    sh = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 2),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("ws", i),
+                            F.element_at("ws", i + 1),
+                            F.element_at("ws", i + 2),
+                        )
+                    ),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("h")
+    return (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .groupBy("doc_id")
+        .agg(F.array_join(F.array_sort(F.collect_list("h")), "|").alias("fingerprint"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,65 @@
+"""Multimodal plumbing, streaming idempotent sink, tableio semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_multimodal_features_deterministic(spark):
+    from deepseek_ocr_vllm_spark.operators.multimodal import (
+        attach_binary_payload, extract_media_features)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    feats = extract_media_features(attach_binary_payload(docs))
+    r1 = feats.orderBy("doc_id").collect()
+    r2 = feats.orderBy("doc_id").collect()
+    assert r1 == r2
+    assert len(r1) == docs.count()
+    for r in r1[:20]:
+        assert r.content_type in ("image/png", "audio/wav", "video/mp4")
+        assert r.width > 0 and r.height > 0
+        assert abs(sum(r.byte_hist) - 1.0) < 1e-9
+        assert (r.n_frames == 1) == (r.content_type == "image/png")
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    from deepseek_ocr_vllm_spark.streaming.microbatch import (
+        foreach_batch_idempotent)
+
+    out = str(tmp_path / "sink")
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    n1 = foreach_batch_idempotent(spark, SF, out)
+    assert n1 == n_events
+    # replaying the whole stream must not duplicate (ON CONFLICT DO NOTHING)
+    n2 = foreach_batch_idempotent(spark, SF, out)
+    assert n2 == n_events
+    dups = (
+        spark.read.parquet(out).groupBy("event_id").count()
+        .filter("count > 1").count()
+    )
+    assert dups == 0
+
+
+def test_latest_wins(spark):
+    from deepseek_ocr_vllm_spark.sources.tableio import latest_wins
+
+    df = spark.createDataFrame(
+        [("a", 1, "old"), ("a", 2, "new"), ("b", 7, "only")],
+        ["key", "run_id", "val"],
+    )
+    got = {r.key: (r.run_id, r.val) for r in latest_wins(df, ["key"], "run_id").collect()}
+    assert got == {"a": (2, "new"), "b": (7, "only")}
+
+
+def test_idempotent_append(spark, tmp_path):
+    from deepseek_ocr_vllm_spark.sources.tableio import idempotent_append
+
+    path = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    idempotent_append(spark, df1, path, keys=["id"])
+    df2 = spark.createDataFrame([(2, "y2"), (3, "z")], ["id", "v"])
+    idempotent_append(spark, df2, path, keys=["id"])
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "x", 2: "y", 3: "z"}  # id=2 not overwritten

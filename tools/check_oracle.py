@@ -51,7 +51,7 @@ def main() -> int:
 
     import duckdb
 
-    from deepseek_ocr_vllm_spark.plans.queries import REGISTRY, TABLES
+    from deepseek_ocr_vllm_spark.plans import REGISTRY, TABLES
     from deepseek_ocr_vllm_spark.session import get_spark
 
     spark = get_spark(app_name="check_oracle", master="local[8]",
