@@ -1,0 +1,93 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus extraction throughput (the north-rule
+metric: extracted turns/sec).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "turns_per_sec": R, "extract_turns": N, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_inner_equi_join",
+    "j6_broadcast_dim_join",
+    "j10_disjunctive_identity_lookup",
+    "w5_confidence_ranked_best",
+    "j5_reconciliation_diff",
+    "dd_minhash_lsh",
+    "dd_embed_cosine",
+    "sim_ivf_topk",
+    "tx_quality",
+    "stream_window_counts",
+]
+
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "200000"))
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from deepseek_ocr_vllm_spark.plans import REGISTRY
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = REGISTRY[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        _ = n
+    return times
+
+
+def bench_extraction(spark) -> tuple[float, int, float]:
+    """Extraction throughput on a cached deterministic transcripts table."""
+    from deepseek_ocr_vllm_spark import fixtures, pipeline
+
+    cache = os.path.join(tempfile.gettempdir(), f"bench_transcripts_{BENCH_TURNS}.parquet")
+    if not os.path.exists(cache):
+        fixtures.write_transcripts_parquet(cache, BENCH_TURNS)
+    out = tempfile.mkdtemp(prefix="bench_extract_")
+    try:
+        t0 = time.time()
+        summary = pipeline.run_extraction(spark, cache, out, n_buckets=64)
+        elapsed = time.time() - t0
+        return elapsed, summary["turns"], round(summary["turns"] / elapsed, 1)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from deepseek_ocr_vllm_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    queries = bench_queries(spark, sf_dir)
+    ext_sec, ext_turns, turns_per_sec = bench_extraction(spark)
+    total = round(sum(queries.values()) + ext_sec, 3)
+    print(json.dumps({
+        "metric": "headline_queries_plus_extraction_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {**queries, "extraction_pipeline": round(ext_sec, 3)},
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "extract_turns": ext_turns,
+        "turns_per_sec": turns_per_sec,
+        "cpus": int(cpus),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,8 @@ def detect_kind(text: str) -> str:
 
 
 def decode_entities(s: str) -> str:
+    if "&" not in s:  # fast path: most text pieces carry no entities
+        return s
     return _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], s)
 
 

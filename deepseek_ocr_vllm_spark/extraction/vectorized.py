@@ -69,10 +69,10 @@ def _tokenize_html(text: str, seg_text: list, seg_link: list, seg_label: list,
         seg_content.append(content_depth > 0)
         seg_lspans.append([])
 
-    for tok in spec.TOKEN_RE.finditer(text):
-        t = tok.group(0)
-        c0 = t[0]
-        if c0 == "<":
+    # findall (no capture groups → whole matches) avoids 2 Python calls
+    # per token vs finditer + group(0)
+    for t in spec.TOKEN_RE.findall(text):
+        if t[0] == "<":
             if t.startswith("<!--"):
                 continue
             n_nodes += 1
@@ -301,3 +301,31 @@ def extract_batch(texts) -> dict:
         "n_bytes": n_bytes,
         "kind": kinds,
     }
+
+
+def extract_batch_flat(texts) -> dict:
+    """extract_batch + spans flattened to Arrow-ready buffers:
+    span_offsets (len n_rows+1, int32), span_starts/span_ends (int32),
+    span_labels (list[str]) — lets the operator build the list<struct>
+    column with pa.ListArray.from_arrays instead of a Python dict loop
+    (the dict path was ~10x slower per batch)."""
+    res = extract_batch(texts)
+    spans = res["spans"]
+    offsets = np.zeros(len(spans) + 1, dtype=np.int32)
+    np.cumsum(res["n_spans"], out=offsets[1:])
+    total = int(offsets[-1])
+    starts = np.empty(total, dtype=np.int32)
+    ends = np.empty(total, dtype=np.int32)
+    labels: list[str] = []
+    k = 0
+    for row in spans:
+        for s, e, lb in row:
+            starts[k] = s
+            ends[k] = e
+            labels.append(lb)
+            k += 1
+    res["span_offsets"] = offsets
+    res["span_starts"] = starts
+    res["span_ends"] = ends
+    res["span_labels"] = labels
+    return res

@@ -159,15 +159,28 @@ def _plain_payload(rng: random.Random) -> str:
     return "\n".join(lines)
 
 
-def gen_transcripts(n_turns: int, seed: int = 42, max_conv_turns: int = 500) -> pd.DataFrame:
-    """Generate ≈n_turns transcript rows (full conversations, so slightly over)."""
+def conv_lengths(n_turns: int, seed: int = 42, max_conv_turns: int = 500) -> list[int]:
+    """Deterministic Zipf conversation lengths summing to ≥ n_turns."""
     nprng = np.random.RandomState(seed)
-    rows: list[tuple] = []
-    conv_i = 0
+    lengths: list[int] = []
     total = 0
     while total < n_turns:
         length = min(int(nprng.zipf(1.2)), max_conv_turns)
+        lengths.append(length)
+        total += length
+    return lengths
+
+
+def _gen_conv_range(args) -> pd.DataFrame:
+    """Generate rows for convs [lo, hi); deterministic regardless of how
+    the conv space is split across workers (per-turn content keyed by
+    sha256(conv_id, turn_idx); ts keyed by the global row index)."""
+    lo, hi, lengths, offsets = args
+    rows: list[tuple] = []
+    for conv_i in range(lo, hi):
+        length = lengths[conv_i]
         conv_id = f"conv_{conv_i:08d}"
+        base = offsets[conv_i]
         for turn_idx in range(length):
             s = _seed(conv_id, turn_idx)
             rng = random.Random(s)
@@ -180,10 +193,8 @@ def gen_transcripts(n_turns: int, seed: int = 42, max_conv_turns: int = 500) -> 
             else:
                 text = _plain_payload(rng)
             tool = TOOLS[s % len(TOOLS)] if role == "tool" else ""
-            ts = EPOCH + timedelta(seconds=7 * (total + turn_idx))
+            ts = EPOCH + timedelta(seconds=7 * (base + turn_idx))
             rows.append((conv_id, turn_idx, role, text, tool, ts))
-        total += length
-        conv_i += 1
     df = pd.DataFrame(
         rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     )
@@ -191,22 +202,85 @@ def gen_transcripts(n_turns: int, seed: int = 42, max_conv_turns: int = 500) -> 
     return df
 
 
-def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42,
-                              max_conv_turns: int = 500) -> str:
+def gen_transcripts(n_turns: int, seed: int = 42, max_conv_turns: int = 500) -> pd.DataFrame:
+    """Generate ≈n_turns transcript rows (full conversations, so slightly over)."""
+    lengths = conv_lengths(n_turns, seed, max_conv_turns)
+    offsets = [0] * len(lengths)
+    acc = 0
+    for i, ln in enumerate(lengths):
+        offsets[i] = acc
+        acc += ln
+    return _gen_conv_range((0, len(lengths), lengths, offsets))
+
+
+PA_SCHEMA_FIELDS = [
+    ("conv_id", "string"), ("turn_idx", "int32"), ("role", "string"),
+    ("text", "string"), ("tool", "string"),
+]
+
+
+def _pa_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [pa.field(n, getattr(pa, t)()) for n, t in PA_SCHEMA_FIELDS]
+        + [pa.field("ts", pa.timestamp("us", tz="UTC"))]
+    )
+
+
+def _write_chunk(args) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    df = gen_transcripts(n_turns, seed=seed, max_conv_turns=max_conv_turns)
-    schema = pa.schema(
-        [
-            pa.field("conv_id", pa.string()),
-            pa.field("turn_idx", pa.int32()),
-            pa.field("role", pa.string()),
-            pa.field("text", pa.string()),
-            pa.field("tool", pa.string()),
-            pa.field("ts", pa.timestamp("us", tz="UTC")),
-        ]
+    lo, hi, lengths, offsets, out_file = args
+    df = _gen_conv_range((lo, hi, lengths, offsets))
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=_pa_schema(), preserve_index=False),
+        out_file, compression="zstd", row_group_size=10_000,
     )
-    pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False),
-                   path, compression="zstd")
+    return out_file
+
+
+def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42,
+                              max_conv_turns: int = 500,
+                              n_files: int = 16,
+                              n_jobs: int | None = None) -> str:
+    """Write as a DIRECTORY of n_files parquet files with small row groups
+    so the Spark scan has file- and row-group-level split points (a single
+    big file caps scan parallelism — at 100 TB the table is thousands of
+    files anyway, so the fixture should look the same). Generation is
+    parallel across processes but deterministic: the conv-length sequence
+    and all per-turn seeds are independent of the worker split."""
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    lengths = conv_lengths(n_turns, seed, max_conv_turns)
+    offsets = [0] * len(lengths)
+    acc = 0
+    for i, ln in enumerate(lengths):
+        offsets[i] = acc
+        acc += ln
+    os.makedirs(path, exist_ok=True)
+    # split conv space into n_files chunks balanced by turn count
+    target = acc / n_files
+    bounds = [0]
+    run = 0.0
+    for i, ln in enumerate(lengths):
+        run += ln
+        if run >= target * len(bounds) and len(bounds) < n_files:
+            bounds.append(i + 1)
+    bounds.append(len(lengths))
+    jobs = [
+        (bounds[k], bounds[k + 1], lengths, offsets,
+         os.path.join(path, f"part-{k:04d}.parquet"))
+        for k in range(len(bounds) - 1)
+        if bounds[k] < bounds[k + 1]
+    ]
+    n_jobs = n_jobs or min(len(jobs), os.cpu_count() or 4)
+    if n_jobs <= 1 or len(jobs) == 1:
+        for j in jobs:
+            _write_chunk(j)
+    else:
+        with ProcessPoolExecutor(max_workers=n_jobs) as ex:
+            list(ex.map(_write_chunk, jobs))
     return path

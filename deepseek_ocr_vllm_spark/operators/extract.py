@@ -64,14 +64,18 @@ def extract_map_in_arrow(df: DataFrame, text_col: str = "text") -> DataFrame:
 
         for batch in batches:
             texts = batch.column(text_col).to_pylist()
-            res = vectorized.extract_batch(texts)
-            spans_arr = pa.array(
+            res = vectorized.extract_batch_flat(texts)
+            struct_arr = pa.StructArray.from_arrays(
                 [
-                    [{"start": s, "end": e, "label": lb} for s, e, lb in row]
-                    for row in res["spans"]
+                    pa.array(res["span_starts"], type=pa.int32()),
+                    pa.array(res["span_ends"], type=pa.int32()),
+                    pa.array(res["span_labels"], type=pa.string()),
                 ],
-                type=_SPAN_PA,
+                names=["start", "end", "label"],
             )
+            spans_arr = pa.ListArray.from_arrays(
+                pa.array(res["span_offsets"], type=pa.int32()), struct_arr
+            ).cast(_SPAN_PA)
             arrays = list(batch.columns) + [
                 pa.array(res["clean_text"], type=pa.string()),
                 spans_arr,

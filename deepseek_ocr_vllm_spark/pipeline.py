@@ -4,13 +4,14 @@ Plan shape, designed for 10^12 turns on a 1000-executor cluster:
 
   scan transcripts (parquet/Iceberg; column-pruned: the UDF only needs the
       six input columns, Catalyst prunes the rest)
-  → bucket_id = pmod(xxhash64(conv_id), n_buckets)        [deterministic]
-  → slice_id  = turn_idx div turns_per_slice              [skew defuse: a
-      5M-turn conversation splits across tasks instead of pinning one core —
-      the reference's hash(path)%n endpoint-salting idiom, job.py:144-148]
+  → bucket_id = pmod(xxhash64(conv_id, turn_idx div S), n_buckets)
+      [deterministic salted bucketing: the slice term spreads a 5M-turn
+       conversation across buckets instead of pinning one core — the
+       reference's hash(path)%n endpoint-salting idiom, job.py:144-148]
   → anti-join checkpoint(status=done) on bucket_id        [resume]
-  → repartition(n_buckets, conv_id, slice_id)
-      .sortWithinPartitions(conv_id, turn_idx)            [stable turn order]
+  → repartition(n_buckets, bucket_id)
+      .sortWithinPartitions(conv_id, turn_idx)            [stable turn order;
+      task == bucket == output dir == lineage row]
   → mapInArrow extract (one Python call per Arrow batch)
   → write partitionBy(bucket_id), dynamic overwrite       [per-bucket atomic,
       idempotent re-run]
@@ -46,9 +47,19 @@ def checkpoint_path(output_dir: str) -> str:
     return f"{output_dir}/checkpoint"
 
 
-def _with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+def _with_bucket(df: DataFrame, n_buckets: int,
+                 turns_per_slice: int = TURNS_PER_SLICE) -> DataFrame:
+    """Salted bucket assignment: bucket = hash(conv_id, turn_idx div S).
+
+    The slice term is the skew salt — a pathologically long conversation
+    spreads across buckets at slice granularity instead of pinning one task
+    (the reference's hash(path)%n distribution idiom, job.py:144-148).
+    Buckets are the unit of lineage/resume AND of the physical repartition,
+    so every task writes exactly its own partition directory."""
+    slice_id = (F.col("turn_idx") / F.lit(turns_per_slice)).cast("int")
     return df.withColumn(
-        "bucket_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+        "bucket_id",
+        F.pmod(F.xxhash64("conv_id", slice_id), F.lit(n_buckets)).cast("int"),
     )
 
 
@@ -75,7 +86,7 @@ def run_extraction(
     """
     t0 = time.time()
     src = spark.read.parquet(input_path).select(*INPUT_COLS)
-    df = _with_bucket(src, n_buckets)
+    df = _with_bucket(src, n_buckets, turns_per_slice)
 
     done = completed_buckets(spark, output_dir)
     if done is not None:
@@ -95,13 +106,10 @@ def run_extraction(
                     "run_id": run_id, "resumed": done is not None}
         df = df.filter(F.col("bucket_id").isin(pending))
 
-    work = (
-        df.withColumn(
-            "slice_id", (F.col("turn_idx") / F.lit(turns_per_slice)).cast("int")
-        )
-        .repartition(n_buckets, "conv_id", "slice_id")
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .drop("slice_id")
+    # repartition on the bucket itself: task boundaries == output partition
+    # dirs == lineage rows (no cross-dir write fan-out at scale)
+    work = df.repartition(n_buckets, "bucket_id").sortWithinPartitions(
+        "conv_id", "turn_idx"
     )
     out = extract_map_in_arrow(work, text_col="text").drop("text")
     tableio.write_partitioned(out, turns_path(output_dir), ["bucket_id"])
@@ -114,27 +122,30 @@ def run_extraction(
         written = written.join(F.broadcast(done), "bucket_id", "left_anti")
     if max_buckets is not None:
         written = written.filter(F.col("bucket_id").isin(pending))
-    metrics = written.groupBy("bucket_id").agg(
+    metric_rows = written.groupBy("bucket_id").agg(
         F.count("*").alias("n_turns"),
         F.sum("n_nodes").alias("nodes_classified"),
         F.sum("n_spans").alias("spans_emitted"),
         F.sum("n_bytes").alias("bytes_processed"),
-    ).select(
-        F.lit(run_id).cast("long").alias("run_id"),
-        "bucket_id", "n_turns", "nodes_classified", "spans_emitted",
-        "bytes_processed",
-        F.lit("done").alias("status"),
-        F.current_timestamp().alias("committed_at"),
-    )
-    tableio.idempotent_append(spark, metrics, checkpoint_path(output_dir),
-                              keys=["bucket_id"])
+    ).collect()  # ≤ n_buckets rows — one scan (column-pruned), not two
 
-    summary = metrics.agg(
-        F.count("*").alias("b"), F.sum("n_turns").alias("t")
-    ).collect()[0]
+    ckpt = tableio.read_or_none(spark, checkpoint_path(output_dir))
+    already = (
+        {r.bucket_id for r in ckpt.select("bucket_id").distinct().collect()}
+        if ckpt is not None else set()
+    )
+    fresh = [r for r in metric_rows if r.bucket_id not in already]
+    if fresh:
+        spark.createDataFrame(
+            [(run_id, r.bucket_id, r.n_turns, r.nodes_classified,
+              r.spans_emitted, r.bytes_processed, "done") for r in fresh],
+            "run_id long, bucket_id int, n_turns long, nodes_classified long, "
+            "spans_emitted long, bytes_processed long, status string",
+        ).withColumn("committed_at", F.current_timestamp()) \
+         .write.mode("append").parquet(checkpoint_path(output_dir))
     return {
-        "buckets_done": summary["b"] or 0,
-        "turns": summary["t"] or 0,
+        "buckets_done": len(fresh),
+        "turns": sum(r.n_turns for r in fresh),
         "elapsed_sec": round(time.time() - t0, 3),
         "run_id": run_id,
         "resumed": done is not None,

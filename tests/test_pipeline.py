@@ -91,7 +91,22 @@ def test_resume_from_partial_run(spark, transcripts_path, transcripts_pdf, tmp_p
 def test_bucket_assignment_is_deterministic(spark, transcripts_path, extracted):
     out, _ = extracted
     df = pipeline.read_extracted(spark, out)
-    # one conv_id never straddles buckets
-    n = df.groupBy("conv_id").agg(F.countDistinct("bucket_id").alias("nb")) \
-          .filter("nb > 1").count()
+    # bucket = hash(conv_id, turn_idx div S): one (conv, slice) never
+    # straddles buckets (a long conv spreads across buckets only at slice
+    # boundaries — that's the skew salt working as designed)
+    slice_id = (F.col("turn_idx") / pipeline.TURNS_PER_SLICE).cast("int")
+    n = (
+        df.groupBy("conv_id", slice_id.alias("slice_id"))
+        .agg(F.countDistinct("bucket_id").alias("nb"))
+        .filter("nb > 1")
+        .count()
+    )
     assert n == 0
+    # and a >256-turn conversation really does use multiple buckets
+    long_convs = (
+        df.groupBy("conv_id").agg(
+            F.max("turn_idx").alias("mx"), F.countDistinct("bucket_id").alias("nb")
+        ).filter("mx >= 256")
+    )
+    assert long_convs.filter("nb < 2").count() < long_convs.count() or \
+        long_convs.count() == 0
