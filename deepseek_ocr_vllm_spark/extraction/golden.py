@@ -217,7 +217,7 @@ def extract_turn(text: str | None) -> dict:
     Spans are char offsets into clean_text, start inclusive / end exclusive,
     so ``clean_text[start:end]`` round-trips (PREANNOTATION_SCHEMA.md:9-12).
     """
-    raw = text or ""
+    raw = spec.sanitize_utf8(text or "")
     n_bytes = len(raw.encode("utf-8"))
     kind = spec.detect_kind(raw)
     t = spec.nfc(raw)

@@ -98,6 +98,18 @@ def decode_entities(s: str) -> str:
     return _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], s)
 
 
+def sanitize_utf8(s: str) -> str:
+    """F6 invalid-UTF8 strip (processor.go:320-334): drop runes that can't
+    encode (lone surrogates), keep diacritics. Arrow/Spark strings are
+    UTF-8 so the hot path never sees these; the golden path must still be
+    total over arbitrary Python strings."""
+    try:
+        s.encode("utf-8")
+        return s
+    except UnicodeEncodeError:
+        return s.encode("utf-8", "ignore").decode("utf-8")
+
+
 def nfc(s: str) -> str:
     return unicodedata.normalize("NFC", s)
 

@@ -226,7 +226,7 @@ def extract_batch(texts) -> dict:
     n_bytes, kind.
     """
     n_rows = len(texts)
-    raw = ["" if t is None else t for t in texts]
+    raw = [spec.sanitize_utf8(t) if t else "" for t in texts]
     n_bytes = [len(t.encode("utf-8")) for t in raw]
     kinds = [spec.detect_kind(t) for t in raw]
     norm = [spec.nfc(t) for t in raw]

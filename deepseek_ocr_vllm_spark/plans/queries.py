@@ -714,3 +714,39 @@ def pv2_melt_wide_to_long(spark, sf_dir):
         )
         .orderBy("c_custkey", "col_name")
     )
+
+
+@q(
+    "a12_monotonic_id_allocation",
+    """
+    WITH existing AS (
+      SELECT CAST(o_orderkey % 7 AS INTEGER) AS export_run_id FROM orders
+      WHERE o_orderkey <= 50
+    ),
+    next_id AS (
+      SELECT COALESCE(MAX(export_run_id), 0) + 1 AS run_id FROM existing
+    )
+    SELECT c_custkey, n.run_id AS export_run_id
+    FROM customer CROSS JOIN next_id n
+    WHERE c_custkey <= 100 ORDER BY c_custkey
+    """,
+)
+def a12_monotonic_id_allocation(spark, sf_dir):
+    """A12 monotonic id allocation: COALESCE(MAX(id),0)+1 cross-joined onto
+    every inserted row (argilla_export_loader_from_staged.sql:10-22,40-42).
+    The scalar is a 1-row broadcast — no shuffle of the fact side."""
+    existing = (
+        t(spark, sf_dir, "orders")
+        .filter("o_orderkey <= 50")
+        .select((F.col("o_orderkey") % 7).cast("int").alias("export_run_id"))
+    )
+    next_id = existing.agg(
+        (F.coalesce(F.max("export_run_id"), F.lit(0)) + 1).alias("run_id")
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .filter("c_custkey <= 100")
+        .crossJoin(F.broadcast(next_id))
+        .select("c_custkey", F.col("run_id").alias("export_run_id"))
+        .orderBy("c_custkey")
+    )

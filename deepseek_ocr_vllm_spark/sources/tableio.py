@@ -73,3 +73,73 @@ def latest_wins(df: DataFrame, keys: list[str], version_col: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def upsert_with_history(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    keys: list[str],
+    compare_cols: list[str],
+    history_path: str | None = None,
+    run_id: int = 1,
+) -> dict:
+    """J6/T4/A14: insert-or-update current snapshot + change-history append
+    (sql/ebisu_transform.sql:98-165: match by key, update current row, emit
+    a typed history row for each changed attribute).
+
+    Parquet emulation of Iceberg MERGE INTO: read current, classify rows
+    into insert / changed / unchanged via a keyed join, rewrite the
+    snapshot, append history rows for changes.
+    """
+    current = read_or_none(spark, path)
+    if current is None:
+        new_df.write.mode("overwrite").parquet(path + "_v2")
+        _swap(path)
+        return {"inserted": new_df.count(), "updated": 0, "unchanged": 0}
+
+    cur = current.select(*(keys + compare_cols)).withColumn("__exists", F.lit(True))
+    joined = new_df.alias("n").join(cur.alias("c"), keys, "left")
+    any_diff = None
+    for col in compare_cols:
+        d = ~F.col(f"n.{col}").eqNullSafe(F.col(f"c.{col}"))
+        any_diff = d if any_diff is None else (any_diff | d)
+    is_insert = F.col("__exists").isNull()
+    # rows in current absent from new stay as-is
+    keep = current.join(new_df.select(*keys), keys, "left_anti")
+    merged = keep.unionByName(new_df)
+    merged.write.mode("overwrite").parquet(path + "_v2")
+
+    changed = (
+        joined.filter(any_diff & ~is_insert)
+        .select(
+            *[F.col(f"n.{k}") for k in keys],
+            F.lit(run_id).cast("long").alias("run_id"),
+            F.to_json(F.struct(*[F.col(f"c.{c}").alias(c) for c in compare_cols]))
+            .alias("old_values"),
+            F.to_json(F.struct(*[F.col(f"n.{c}").alias(c) for c in compare_cols]))
+            .alias("new_values"),
+            F.lit("ATTRIBUTE_CHANGE").alias("change_type"),
+            F.current_timestamp().alias("changed_at"),
+        )
+    )
+    n_changed = changed.count()
+    n_insert = joined.filter(is_insert).count()
+    if history_path and n_changed:
+        changed.write.mode("append").parquet(history_path)
+    _swap(path)
+    return {
+        "inserted": n_insert,
+        "updated": n_changed,
+        "unchanged": new_df.count() - n_changed - n_insert,
+    }
+
+
+def _swap(path: str) -> None:
+    """Atomic-ish snapshot swap (the Parquet stand-in for an Iceberg
+    snapshot commit)."""
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(path + "_v2", path)

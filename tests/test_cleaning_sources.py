@@ -1,0 +1,149 @@
+"""Rules-engine cleaner (X10), CSV ingestion (S3/X11/F1), upsert+history
+(J6/T4), storage key (S14), F-series column functions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_clean_cells_rule_chain_and_confidence(spark):
+    from deepseek_ocr_vllm_spark.operators.cleaning import clean_cells
+
+    cells = spark.createDataFrame(
+        [
+            (1, "Vessel Name", '  "santa maria"  '),
+            (1, "IMO Number", " IMO 9074729 "),
+            (2, "Build Date", "03/15/2019"),
+            (2, "Gross Tonnage", "1,234.5 t"),
+            (3, "Vessel Name", "N/A"),
+            (3, "Notes", "yes"),
+            (4, "Notes", "already clean"),
+        ],
+        ["row_index", "column_name", "raw_value"],
+    )
+    got = {(r.row_index, r.column_name): r for r in clean_cells(cells).collect()}
+
+    name = got[(1, "Vessel Name")]
+    assert name.field_type == "name"
+    assert name.cleaned_value == "SANTA MARIA"
+    assert 1 in name.rule_chain and 3 in name.rule_chain and 5 in name.rule_chain
+
+    imo = got[(1, "IMO Number")]
+    assert imo.field_type == "imo"
+    assert imo.cleaned_value == "9074729"
+
+    date = got[(2, "Build Date")]
+    assert date.field_type == "date"
+    assert date.cleaned_value == "2019-03-15"
+
+    ton = got[(2, "Gross Tonnage")]
+    assert ton.field_type == "number"
+    assert ton.cleaned_value == "1234.5"
+
+    na = got[(3, "Vessel Name")]
+    assert na.cleaned_value == ""  # placeholder null
+
+    yes = got[(3, "Notes")]
+    assert yes.cleaned_value == "true"
+
+    clean = got[(4, "Notes")]
+    assert clean.rule_chain == []  # nothing fired
+    assert clean.confidence == 0.5
+    assert clean.needs_review  # untouched low-confidence cell
+
+
+def test_clean_cells_fixpoint_is_idempotent(spark):
+    from deepseek_ocr_vllm_spark.operators.cleaning import clean_cells
+
+    cells = spark.createDataFrame(
+        [(1, "Vessel Name", '  " N/A " ')],  # trim → quotes → null cascade
+        ["row_index", "column_name", "raw_value"],
+    )
+    r = clean_cells(cells).collect()[0]
+    assert r.cleaned_value == ""
+    r2 = clean_cells(
+        spark.createDataFrame(
+            [(1, "Vessel Name", r.cleaned_value)],
+            ["row_index", "column_name", "raw_value"],
+        )
+    ).collect()[0]
+    assert r2.cleaned_value == r.cleaned_value
+
+
+def test_melt_round_trip(spark):
+    from deepseek_ocr_vllm_spark.operators.cleaning import melt_to_cells
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "name", "val"]
+    )
+    long = melt_to_cells(df, "id", ["name", "val"])
+    assert long.count() == 4
+    wide = long.groupBy("row_index").pivot("column_name").agg(F.first("raw_value"))
+    got = {r.row_index: (r.name, r.val) for r in wide.collect()}
+    assert got[1] == ("a", "10.0")
+
+
+def test_read_registry_csv(spark, tmp_path):
+    from deepseek_ocr_vllm_spark.sources.csv_ingest import read_registry_csv
+
+    p = tmp_path / "registry.csv"
+    p.write_text(
+        'Vessel Name,IMO Number,"Flag State",GT\n'
+        'Aurora, 123, NO,999\n'
+        "Bella,456,SE\n"  # short row → padded
+        'Cora,"789",DK,1234\n'
+    )
+    df = read_registry_csv(spark, str(p))
+    assert df.columns == ["VESSEL_NAME", "IMO", "FLAG", "GROSS_TONNAGE"]
+    rows = {r.VESSEL_NAME: r for r in df.collect()}
+    assert rows["Aurora"].IMO == "123"
+    assert rows["Bella"].GROSS_TONNAGE == ""  # padded short row
+    assert rows["Cora"].IMO == "789"
+
+
+def test_upsert_with_history(spark, tmp_path):
+    from deepseek_ocr_vllm_spark.sources.tableio import upsert_with_history
+
+    path = str(tmp_path / "vessels")
+    hist = str(tmp_path / "history")
+    v1 = spark.createDataFrame(
+        [(1, "AURORA", "NO"), (2, "BELLA", "SE")], ["id", "name", "flag"]
+    )
+    s1 = upsert_with_history(spark, v1, path, ["id"], ["name", "flag"], hist)
+    assert s1 == {"inserted": 2, "updated": 0, "unchanged": 0}
+
+    v2 = spark.createDataFrame(
+        [(1, "AURORA II", "NO"), (2, "BELLA", "SE"), (3, "CORA", "DK")],
+        ["id", "name", "flag"],
+    )
+    s2 = upsert_with_history(spark, v2, path, ["id"], ["name", "flag"], hist)
+    assert s2 == {"inserted": 1, "updated": 1, "unchanged": 1}
+
+    cur = {r.id: r.name for r in spark.read.parquet(path).collect()}
+    assert cur == {1: "AURORA II", 2: "BELLA", 3: "CORA"}
+    h = spark.read.parquet(hist).collect()
+    assert len(h) == 1
+    assert h[0].id == 1 and h[0].change_type == "ATTRIBUTE_CHANGE"
+    assert "AURORA" in h[0].old_values and "AURORA II" in h[0].new_values
+
+
+def test_storage_key_and_string_functions(spark):
+    from deepseek_ocr_vllm_spark.functions import strings as S
+
+    df = spark.createDataFrame(
+        [("docs", "2025-03-04 10:11:12", "t1", "My Report (final).PDF")],
+        ["prefix", "ts", "task", "name"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = df.select(
+        S.storage_key(F.col("prefix"), F.col("ts"), F.col("task"), F.col("name"))
+        .alias("key"),
+        S.canon_col_name(F.lit("Flag State")).alias("canon"),
+        S.canonicalize_null(F.lit("N/A"), "<NULL>").alias("nul"),
+        S.composite_key(F.lit("a & b"), F.lit("'x'")).alias("ck"),
+        S.levenshtein_similarity(F.lit("vessel"), F.lit("vessle")).alias("sim"),
+    ).collect()[0]
+    assert r.key == "docs/2025/03/04/101112-t1-my-report-final-pdf"
+    assert r.canon == "FLAG"
+    assert r.nul == "<NULL>"
+    assert r.ck == "A AND B||X"
+    assert 0.6 < r.sim < 1.0
