@@ -452,3 +452,97 @@ def tx_fingerprint(spark, sf_dir):
         .agg(F.array_join(F.array_sort(F.collect_list("h")), "|").alias("fingerprint"))
         .orderBy("doc_id")
     )
+
+
+@q(
+    "f25_json_ops",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+           json_object('id', event_id, 'type', event_type) AS packed
+    FROM events WHERE event_id < 500 ORDER BY event_id
+    """,
+)
+def f25_json_ops(spark, sf_dir):
+    """F25 JSON build/parse (jsonb_build_object / ->> extraction,
+    intelligence_entity_resolution.sql:75-80; checks_integrity.sql:18-28):
+    get_json_object + to_json(struct(...))."""
+    e = t(spark, sf_dir, "events").filter("event_id < 500")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("type"))
+        ).alias("packed"),
+    ).orderBy("event_id")
+
+
+@q(
+    "a9_declared_vs_actual",
+    """
+    WITH declared AS (
+      SELECT o_custkey, COUNT(*) + CASE WHEN o_custkey % 50 = 0 THEN 1 ELSE 0 END
+               AS declared_n
+      FROM orders GROUP BY o_custkey
+    ),
+    actual AS (SELECT o_custkey, COUNT(DISTINCT o_orderkey) AS actual_n
+               FROM orders GROUP BY o_custkey)
+    SELECT d.o_custkey, d.declared_n, a.actual_n
+    FROM declared d JOIN actual a USING (o_custkey)
+    WHERE d.declared_n <> a.actual_n
+    ORDER BY d.o_custkey
+    """,
+)
+def a9_declared_vs_actual(spark, sf_dir):
+    """A9 declared-vs-actual audit (checks_integrity.sql:79-90): HAVING
+    declared <> COUNT(DISTINCT id) — declared counts perturbed on a
+    deterministic subset to make the audit non-empty."""
+    o = t(spark, sf_dir, "orders")
+    declared = o.groupBy("o_custkey").agg(
+        (
+            F.count("*")
+            + F.when(F.col("o_custkey") % 50 == 0, 1).otherwise(0)
+        ).alias("declared_n")
+    )
+    actual = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderkey").alias("actual_n")
+    )
+    return (
+        declared.join(actual, "o_custkey")
+        .filter("declared_n <> actual_n")
+        .select("o_custkey", "declared_n", "actual_n")
+        .orderBy("o_custkey")
+    )
+
+
+@q(
+    "p1_strict_threshold",
+    """
+    SELECT doc_id, n_chars,
+           CASE WHEN n_chars < 100 THEN TRUE ELSE FALSE END AS failed
+    FROM documents ORDER BY doc_id
+    """,
+)
+def p1_strict_threshold(spark, sf_dir):
+    """P1 strict text-threshold filter (pdf_extract.py:224-236;
+    job.py:80-83): flag docs under the minimum extracted-chars bar."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "n_chars",
+            (F.col("n_chars") < 100).alias("failed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q("x7_ner_spans", None)
+def x7_ner_spans(spark, sf_dir):
+    """X7/X8 deterministic span extraction over documents (rows-only: the
+    chunk/offset-remap logic is exercised by pytest golden tests;
+    end-exclusive span contract per PREANNOTATION_SCHEMA.md:9-12)."""
+    from ..operators.ner import extract_spans
+
+    return extract_spans(t(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "span_id"
+    )

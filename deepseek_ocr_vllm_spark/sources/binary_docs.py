@@ -1,0 +1,47 @@
+"""S1/S2/S11/S8: binary document scan + manifest sink.
+
+Reference: recursive PDF dir walk + parallelize (apps/spark-jobs/
+pdf-extract/job.py:41-47,127) → here a declarative binaryFile scan (the
+scan itself is the parallelism — no driver-side os.walk, no RDD);
+content-addressed SHA-256 while reading (S11, ocr_service/storage.py:69-102);
+JSONL manifest sink (S8, job.py:153-168).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_binary_docs(spark: SparkSession, path: str,
+                     glob: str = "*.pdf") -> DataFrame:
+    """Recursive binary scan with content hashing: one row per file
+    (path, modificationTime, length, content, doc_sha256)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    return df.select(
+        "path", "modificationTime", "length", "content",
+        F.sha2(F.col("content"), 256).alias("doc_sha256"),
+    )
+
+
+def write_manifest_jsonl(df: DataFrame, out_path: str,
+                         min_chars: int = 1, min_pages: int = 1) -> None:
+    """S8 + P1: one JSON object per processed doc with strict-mode failure
+    flag (pdf_extract.py:224-236 text thresholds; job.py:153-168 manifest).
+    Expects columns (path|doc_id, total_chars, n_pages)."""
+    cols = df.columns
+    key = "path" if "path" in cols else "doc_id"
+    out = df.select(
+        F.col(key).alias("doc"),
+        "total_chars",
+        "n_pages",
+        (
+            (F.col("total_chars") < min_chars) | (F.col("n_pages") < min_pages)
+        ).alias("failed"),
+    )
+    out.write.mode("overwrite").json(out_path)

@@ -1,0 +1,115 @@
+"""X7/X8 span extraction, X9 annotation normalize, P5 guardrails,
+S1 binary scan + S8 manifest sink."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from deepseek_ocr_vllm_spark.operators.ner import (
+    CHUNK_SIZE, extract_spans, extract_spans_text)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_span_roundtrip_contract():
+    text = "the vessel IMO 9074729 sailed in 2019 costing 5000 USD near spark"
+    rows = extract_spans_text(7, text)
+    assert rows, "expected spans"
+    labels = {r[2] for r in rows}
+    assert {"IMO", "YEAR", "MONEY", "TERM"} <= labels
+    for doc_id, span_id, label, start, end, t, conf, model in rows:
+        assert doc_id == 7
+        assert text[start:end] == t  # end exclusive, round-trips
+        assert 0 < conf <= 1.0
+    # W3 ordering: spans sorted by start_char within doc
+    starts = [r[3] for r in rows]
+    assert starts == sorted(starts)
+
+
+def test_chunk_offset_remap():
+    """X8: a match far past the first chunk boundary must carry
+    document-space offsets."""
+    filler = "x " * (CHUNK_SIZE // 2)  # no matches inside
+    text = filler + "IMO 1234567" + " y" * 50
+    rows = [r for r in extract_spans_text(1, text) if r[2] == "IMO"]
+    assert len(rows) == 1
+    _, _, _, start, end, t, _, _ = rows[0]
+    assert start > CHUNK_SIZE // 2
+    assert text[start:end] == t == "IMO 1234567"
+
+
+def test_extract_spans_spark(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    spans = extract_spans(df)
+    rows = spans.collect()
+    assert len(rows) > 0
+    texts = {r.doc_id: r.text for r in df.collect()}
+    for r in rows[:50]:
+        assert texts[r.doc_id][r.start:r.end] == r.text
+
+
+def test_normalize_annotations(spark):
+    from deepseek_ocr_vllm_spark.operators.ner import normalize_annotations
+
+    rec = json.dumps(
+        {
+            "text": "hello vessel world",
+            "annotations": [
+                {"start": 6, "end": 12, "labels": ["TERM"]},
+                {"start": None, "end": 5, "labels": ["BAD"]},
+            ],
+        }
+    )
+    df = spark.createDataFrame([(rec,)], ["j"])
+    out = normalize_annotations(df, "j").collect()[0]
+    assert out.text == "hello vessel world"
+    assert [(s.start, s.end, s.label) for s in out.spans] == [(6, 12, "TERM")]
+
+
+def test_guardrails(spark):
+    from deepseek_ocr_vllm_spark.plans.guardrails import (
+        GuardrailError, check_sql, guarded_sql)
+
+    with pytest.raises(GuardrailError):
+        check_sql("DROP TABLE x")
+    with pytest.raises(GuardrailError):
+        check_sql("update t set a=1")
+    check_sql("SELECT 1")
+    check_sql("WITH t AS (SELECT 1) SELECT * FROM t")
+
+    spark.range(50_000).createOrReplaceTempView("big")
+    got = guarded_sql(spark, "SELECT * FROM big").collect()
+    assert len(got) == 10_000  # auto-LIMIT injected
+    got2 = guarded_sql(spark, "SELECT * FROM big LIMIT 5").collect()
+    assert len(got2) == 5  # explicit limit respected
+
+
+def test_binary_scan_and_manifest(spark, tmp_path):
+    from deepseek_ocr_vllm_spark.sources.binary_docs import (
+        read_binary_docs, write_manifest_jsonl)
+    import pyspark.sql.functions as F
+
+    d = tmp_path / "docs" / "nested"
+    d.mkdir(parents=True)
+    (d / "a.pdf").write_bytes(b"%PDF-1.4 fake content aaaa")
+    (d / "b.pdf").write_bytes(b"%PDF-1.4 fake bbbb")
+    (d / "skip.txt").write_text("not a pdf")
+
+    df = read_binary_docs(spark, str(tmp_path / "docs"))
+    rows = df.collect()
+    assert len(rows) == 2  # glob filtered, recursive
+    assert all(len(r.doc_sha256) == 64 for r in rows)
+
+    m_in = df.select(
+        "path",
+        F.length("content").cast("long").alias("total_chars"),
+        F.lit(1).alias("n_pages"),
+    )
+    out = str(tmp_path / "manifest")
+    write_manifest_jsonl(m_in, out, min_chars=20, min_pages=1)
+    man = [json.loads(line) for f in (tmp_path / "manifest").glob("*.json")
+           for line in f.read_text().splitlines()]
+    assert len(man) == 2
+    assert sum(1 for m in man if m["failed"]) == 1  # b.pdf under 20 bytes
