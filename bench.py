@@ -38,6 +38,9 @@ BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "200000"))
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from deepseek_ocr_vllm_spark.plans import REGISTRY
 
+    # JVM/codegen warmup so the first measured query isn't charged for JIT
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
