@@ -29,6 +29,28 @@ _LABELABLE = {
 }
 
 
+_TAG_MEMO: dict[str, tuple[str, bool, bool] | None] = {}
+_TAG_MEMO_CAP = 100_000  # attr-bearing tags can be unbounded (hrefs)
+
+
+def _parse_tag(t: str) -> tuple[str, bool, bool] | None:
+    """token → (name, closing, void) | None; memoized (tag tokens repeat
+    heavily, and a dict hit is ~10x cheaper than the regex)."""
+    hit = _TAG_MEMO.get(t, 0)
+    if hit != 0:
+        return hit
+    m = spec.TAG_NAME_RE.match(t)
+    if m is None:
+        out = None
+    else:
+        name = m.group(1).lower()
+        # tokens always end '>' (TOKEN_RE), so no trailing-ws rstrip needed
+        out = (name, t[1] == "/", t.endswith("/>") or name in spec.VOID_TAGS)
+    if len(_TAG_MEMO) < _TAG_MEMO_CAP:
+        _TAG_MEMO[t] = out
+    return out
+
+
 def _tokenize_html(text: str, seg_text: list, seg_link: list, seg_label: list,
                    seg_content: list, seg_lspans: list) -> int:
     """Single pass over one HTML payload; append segments to the flat
@@ -76,12 +98,10 @@ def _tokenize_html(text: str, seg_text: list, seg_link: list, seg_label: list,
             if t.startswith("<!--"):
                 continue
             n_nodes += 1
-            m = spec.TAG_NAME_RE.match(t)
-            if m is None:
+            parsed = _parse_tag(t)
+            if parsed is None:
                 continue
-            name = m.group(1).lower()
-            closing = t[1] == "/"
-            void = t.rstrip().endswith("/>") or name in spec.VOID_TAGS
+            name, closing, void = parsed
             if kill:
                 if name in spec.KILL_TAGS:
                     kill += -1 if closing else (0 if void else 1)
