@@ -60,9 +60,13 @@ def bench_extraction(spark) -> tuple[float, int, float]:
     if not os.path.exists(cache):
         fixtures.write_transcripts_parquet(cache, BENCH_TURNS)
     out = tempfile.mkdtemp(prefix="bench_extract_")
+    # buckets ≈ concurrent tasks: one task wave amortizes python-worker and
+    # per-directory commit overhead (64 buckets on 32 cores measured 2.1x
+    # slower than 32); at cluster scale pick buckets ≈ total cores
+    n_buckets = max(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 8)
     try:
         t0 = time.time()
-        summary = pipeline.run_extraction(spark, cache, out, n_buckets=64)
+        summary = pipeline.run_extraction(spark, cache, out, n_buckets=n_buckets)
         elapsed = time.time() - t0
         return elapsed, summary["turns"], round(summary["turns"] / elapsed, 1)
     finally:

@@ -750,3 +750,54 @@ def a12_monotonic_id_allocation(spark, sf_dir):
         .select("c_custkey", F.col("run_id").alias("export_run_id"))
         .orderBy("c_custkey")
     )
+
+
+@q(
+    "w_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id <= 100
+    ),
+    sess AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def w_sessionize(spark, sf_dir):
+    """Sessionization (training-pipeline staple): lag-gap flag + running
+    sum as session id, then per-session rollup — two windows over the same
+    partitioning, one shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = t(spark, sf_dir, "events").filter("user_id <= 100")
+    gaps = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTE")),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn("session_id", F.sum("new_session").over(wrun))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
