@@ -70,6 +70,9 @@ NOISE_LINE_RE = re.compile(
 )
 WORDCHAR_RE = re.compile(r"\w")
 WS_RE = re.compile(r"\s+")
+# a collapse_ws call is a no-op unless the string has a whitespace RUN or a
+# non-space whitespace char — one C-level search decides, skipping the sub
+_WS_NEEDS_RE = re.compile(r"\s\s|[^\S ]")
 
 # ------------------------------------------------------------------ detection
 
@@ -111,10 +114,14 @@ def sanitize_utf8(s: str) -> str:
 
 
 def nfc(s: str) -> str:
+    if s.isascii():  # NFC is the identity on ASCII (C-speed check)
+        return s
     return unicodedata.normalize("NFC", s)
 
 
 def collapse_ws(s: str) -> str:
+    if _WS_NEEDS_RE.search(s) is None:
+        return s
     return WS_RE.sub(" ", s)
 
 

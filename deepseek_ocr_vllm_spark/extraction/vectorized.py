@@ -31,6 +31,7 @@ _LABELABLE = {
 
 _TAG_MEMO: dict[str, tuple[str, bool, bool] | None] = {}
 _TAG_MEMO_CAP = 100_000  # attr-bearing tags can be unbounded (hrefs)
+_MISS = object()  # memo-miss sentinel (None is a valid memo value)
 
 
 def _parse_tag(t: str) -> tuple[str, bool, bool] | None:
@@ -91,19 +92,26 @@ def _tokenize_html(text: str, seg_text: list, seg_link: list, seg_label: list,
         seg_content.append(content_depth > 0)
         seg_lspans.append([])
 
+    # hot-loop locals: global/attr lookups cost ~30% at ~100 tokens/turn
+    memo_get = _TAG_MEMO.get
+    kill_tags, block_tags = spec.KILL_TAGS, spec.BLOCK_TAGS
+    collapse_ws, decode_entities = spec.collapse_ws, spec.decode_entities
+
     # findall (no capture groups → whole matches) avoids 2 Python calls
     # per token vs finditer + group(0)
     for t in spec.TOKEN_RE.findall(text):
         if t[0] == "<":
-            if t.startswith("<!--"):
+            if t[1] == "!" and t.startswith("<!--"):
                 continue
             n_nodes += 1
-            parsed = _parse_tag(t)
+            parsed = memo_get(t, _MISS)
+            if parsed is _MISS:
+                parsed = _parse_tag(t)
             if parsed is None:
                 continue
             name, closing, void = parsed
             if kill:
-                if name in spec.KILL_TAGS:
+                if name in kill_tags:
                     kill += -1 if closing else (0 if void else 1)
                 continue
             if table:
@@ -117,21 +125,24 @@ def _tokenize_html(text: str, seg_text: list, seg_link: list, seg_label: list,
                     else:
                         table += 1
                 continue
-            if name in spec.KILL_TAGS:
+            if name in kill_tags:
                 if not closing and not void:
-                    emit()
+                    if buf_parts:
+                        emit()
                     kill = 1
                 continue
             if name == "a":
                 anchor += -1 if (closing and anchor) else (0 if (closing or void) else 1)
                 continue
             if name == "table" and not closing:
-                emit()
+                if buf_parts:
+                    emit()
                 stack.append(name)
                 table = 1
                 continue
-            if name in spec.BLOCK_TAGS:
-                emit()
+            if name in block_tags:
+                if buf_parts:
+                    emit()
                 if closing:
                     if name in stack:
                         while stack:
@@ -153,7 +164,7 @@ def _tokenize_html(text: str, seg_text: list, seg_link: list, seg_label: list,
         if kill or table:
             continue
         start = buf_len
-        piece = spec.collapse_ws(spec.decode_entities(t))
+        piece = collapse_ws(decode_entities(t))
         if piece:
             if piece == " ":
                 if buf_len and not buf_tail_space:
@@ -172,7 +183,8 @@ def _tokenize_html(text: str, seg_text: list, seg_link: list, seg_label: list,
 
     if table:
         emit_table_marker()
-    emit()
+    if buf_parts:
+        emit()
     return n_nodes
 
 
@@ -184,44 +196,47 @@ def _extract_pdf_rows(texts: list[str]) -> list[tuple[str, list, int]]:
     segmentation (vectorized gap/column-break tests), per-block merge.
     """
     out = []
+    line_match = spec.PDF_LINE_RE.match
     for text in texts:
-        xs, ys, sizes, fonts, contents = [], [], [], [], []
+        recs = []
         for line in text.split("\n"):
-            m = spec.PDF_LINE_RE.match(line)
+            m = line_match(line)
             if m:
-                xs.append(float(m.group(1)))
-                ys.append(float(m.group(2)))
-                sizes.append(float(m.group(3)))
-                fonts.append(m.group(4).strip())
-                contents.append(m.group(5))
-        n = len(xs)
+                recs.append(m.groups())  # one call for all 5 groups
+        n = len(recs)
         if n == 0:
             out.append(("", [], 0))
             continue
-        x = np.asarray(xs)
-        y = np.asarray(ys)
-        sz = np.asarray(sizes)
+        fonts = [r[3] for r in recs]
+        contents = [r[4] for r in recs]
+        x = np.array([r[0] for r in recs], dtype=np.float64)
+        y = np.array([r[1] for r in recs], dtype=np.float64)
+        sz = np.array([r[2] for r in recs], dtype=np.float64)
         order = np.lexsort((np.arange(n), x, y))  # stable (y, x, idx)
         xo, yo, so = x[order], y[order], sz[order]
         prev_sz = np.where(so[:-1] > 0, so[:-1], 1.0)
         brk = ((yo[1:] - yo[:-1]) > spec.PDF_Y_GAP_FACTOR * prev_sz) | (
             np.abs(xo[1:] - xo[:-1]) > spec.PDF_X_JUMP
         )
-        block_id = np.concatenate(([0], np.cumsum(brk)))
+        # blocks are contiguous runs in reading order → slice bounds, not
+        # per-block boolean masks (those cost O(blocks × lines))
+        bounds = np.concatenate(([0], np.flatnonzero(brk) + 1, [n]))
         median = float(np.sort(sz)[(n - 1) // 2])
+        heading_cut = spec.PDF_HEADING_FACTOR * median
 
         parts: list[str] = []
         spans: list[tuple[int, int, str]] = []
         off = 0
-        for b in range(int(block_id[-1]) + 1):
-            idxs = order[block_id == b]
+        for b in range(len(bounds) - 1):
+            sl = slice(bounds[b], bounds[b + 1])
+            idxs = order[sl]
             btexts = [contents[i] for i in idxs]
             n_pipe = sum(1 for t in btexts if "|" in t)
             if n_pipe >= 2:
                 label, btxt = "table", spec.TABLE_MARKER
             else:
                 btxt = spec.merge_pdf_lines(btexts)
-                if median > 0 and float(sz[idxs].max()) >= spec.PDF_HEADING_FACTOR * median:
+                if median > 0 and float(so[sl].max()) >= heading_cut:
                     label = "heading"
                 elif any("Mono" in fonts[i] for i in idxs):
                     label = "code"

@@ -113,6 +113,7 @@ def run_extraction(
     )
     out = extract_map_in_arrow(work, text_col="text").drop("text")
     tableio.write_partitioned(out, turns_path(output_dir), ["bucket_id"])
+    t_write = time.time()
 
     # lineage + metrics from what actually landed (write-then-commit:
     # a crash before this append leaves the bucket pending → re-run
@@ -128,6 +129,7 @@ def run_extraction(
         F.sum("n_spans").alias("spans_emitted"),
         F.sum("n_bytes").alias("bytes_processed"),
     ).collect()  # ≤ n_buckets rows — one scan (column-pruned), not two
+    t_metrics = time.time()
 
     ckpt = tableio.read_or_none(spark, checkpoint_path(output_dir))
     already = (
@@ -147,6 +149,12 @@ def run_extraction(
         "buckets_done": len(fresh),
         "turns": sum(r.n_turns for r in fresh),
         "elapsed_sec": round(time.time() - t0, 3),
+        # phase breakdown: scan→shuffle→extract→write vs the two bookkeeping
+        # actions (metrics re-scan, checkpoint append) — the latter are fixed
+        # costs that cap measurable single-node scaling
+        "extract_write_sec": round(t_write - t0, 3),
+        "metrics_sec": round(t_metrics - t_write, 3),
+        "checkpoint_sec": round(time.time() - t_metrics, 3),
         "run_id": run_id,
         "resumed": done is not None,
     }

@@ -8,6 +8,7 @@ metrics for a training-data pipeline, and an IVF-style bucketed ANN.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .queries import dec, q, t
@@ -244,7 +245,57 @@ _RECON_TMPL = """
 
 
 _RECON_DUCK = _RECON_TMPL.format(S="VARCHAR")
-_RECON_SPARK = _RECON_TMPL.format(S="STRING")
+
+
+def _recon_side(c, pipe: bool):
+    """Baseline / pipeline cell tables with seeded perturbations."""
+    key = F.col("c_custkey")
+    jk = F.when(key % 5 != 0, F.col("c_name")).alias("join_key")
+    ck = F.concat(F.col("c_nationkey").cast("string"), F.lit("||"),
+                  F.col("c_mktsegment")).alias("composite_key")
+    acct = F.col("c_acctbal").cast("decimal(18,2)")
+    if pipe:
+        acct_val = (F.when(key % 11 == 0, (acct + 1).cast("string"))
+                    .otherwise(acct.cast("string")))
+        seg_val = (F.when(key % 7 == 0, F.lit("N/A"))
+                   .otherwise(F.col("c_mktsegment")))
+    else:
+        acct_val = F.when(key % 13 != 0, acct.cast("string"))
+        seg_val = F.col("c_mktsegment")
+    rows = lambda name, val: c.select(  # noqa: E731
+        key.alias("row_index"), jk, ck,
+        F.lit(name).alias("column_name"), val.alias("value"))
+    out = rows("acctbal", acct_val).unionByName(rows("mktsegment", seg_val))
+    if pipe:  # null-token canonicalization (F2/P3)
+        out = out.withColumn(
+            "value",
+            F.when(F.upper(F.coalesce(F.col("value"), F.lit(""))).isin(
+                "N/A", "NA", "NONE", "NULL", "", "-"), F.lit(None))
+            .otherwise(F.col("value")))
+    return out
+
+
+def _recon_uniq(df, key):
+    """Dup keys excluded from key-based stages (phase_b_diff.py:519-532)."""
+    w = Window.partitionBy(key, "column_name")
+    return (df.filter(F.col(key).isNotNull())
+            .withColumn("__c", F.count("*").over(w))
+            .filter(F.col("__c") == 1).drop("__c"))
+
+
+def _recon_match(b, p, key, strategy):
+    return (b.alias("b").join(p.alias("p"), [key, "column_name"])
+            .select(F.col("b.row_index").alias("b_row"),
+                    F.col("p.row_index").alias("p_row"), "column_name",
+                    F.col("b.value").alias("b_val"),
+                    F.col("p.value").alias("p_val"),
+                    F.lit(strategy).alias("strategy")))
+
+
+def _recon_leftover(side, matched, row_col):
+    return side.join(
+        matched.select(F.col(row_col).alias("row_index"), "column_name"),
+        ["row_index", "column_name"], "left_anti")
 
 
 @q("j5_reconciliation_diff", _RECON_DUCK)
@@ -255,9 +306,54 @@ def j5_reconciliation_diff(spark, sf_dir):
     row_index full-outer fallback; cells classified into the null-aware
     diff classes (:842-870) and counted per column × alignment strategy
     (:872-914). Baseline/pipeline derived deterministically from customer
-    with seeded perturbations + null-token canonicalization (F2/P3)."""
-    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(_RECON_SPARK)
+    with seeded perturbations + null-token canonicalization (F2/P3).
+
+    Each stage is MATERIALIZED (localCheckpoint) before the next — exactly
+    what the reference does with eager pandas frames. Lazily composed, the
+    cascade doubles the logical plan per stage (every stage references its
+    predecessor twice: matches + anti-join leftovers) and Catalyst analysis
+    goes exponential; at cluster scale the stage outputs would land in a
+    scratch table instead (same plan-cut, durable)."""
+    ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    c = t(spark, sf_dir, "customer")
+    base = ckpt(_recon_side(c, pipe=False))
+    pipe = ckpt(_recon_side(c, pipe=True))
+
+    s1 = ckpt(_recon_match(_recon_uniq(base, "join_key"),
+                           _recon_uniq(pipe, "join_key"),
+                           "join_key", "join_key"))
+    lb1 = ckpt(_recon_leftover(base, s1, "b_row"))
+    lp1 = ckpt(_recon_leftover(pipe, s1, "p_row"))
+
+    s2 = ckpt(_recon_match(_recon_uniq(lb1, "composite_key"),
+                           _recon_uniq(lp1, "composite_key"),
+                           "composite_key", "composite_key"))
+    lb2 = _recon_leftover(lb1, s2, "b_row")
+    lp2 = _recon_leftover(lp1, s2, "p_row")
+
+    s3 = (lb2.alias("b").join(
+            lp2.alias("p"),
+            (F.col("b.row_index") == F.col("p.row_index"))
+            & (F.col("b.column_name") == F.col("p.column_name")), "full_outer")
+          .select(
+              F.coalesce(F.col("b.row_index"), F.col("p.row_index")).alias("b_row"),
+              F.coalesce(F.col("p.row_index"), F.col("b.row_index")).alias("p_row"),
+              F.coalesce(F.col("b.column_name"), F.col("p.column_name")).alias("column_name"),
+              F.col("b.value").alias("b_val"), F.col("p.value").alias("p_val"),
+              F.lit("row_index").alias("strategy")))
+
+    allcells = s1.unionByName(s2).unionByName(s3)
+    b_val, p_val = F.col("b_val"), F.col("p_val")
+    classified = allcells.select(
+        "column_name", "strategy",
+        F.when(b_val.isNull() & p_val.isNull(), "match_null")
+        .when(b_val == p_val, "match_value")
+        .when(b_val.isNull(), "info_gain")
+        .when(p_val.isNull(), "info_loss")
+        .otherwise("changed_value").alias("diff_class"))
+    return (classified.groupBy("column_name", "strategy", "diff_class")
+            .agg(F.count("*").alias("n"))
+            .orderBy("column_name", "strategy", "diff_class"))
 
 
 # ------------------------------------------------------------ text analysis

@@ -42,7 +42,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # zstd default: at 100 TB the write codec trades CPU for bytes on
+        # disk AND bytes over the memory bus / network; measured here, snappy
+        # sped up CPU-bound local[2] ~15% but its larger output slowed
+        # local[8] (bus-bound) — zstd is the right default at scale, knob
+        # for CPU-starved local runs
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_CODEC", "zstd"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

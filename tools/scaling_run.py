@@ -67,6 +67,8 @@ def main() -> None:
     repeat = int(os.environ.get("SPARK_GRAFT_SCALING_REPEAT", "1"))
     r_n = run_once(n, cache, repeat)
     r_4n = run_once(four_n, cache, repeat)
+    extra = os.environ.get("SPARK_GRAFT_SCALING_EXTRA", "32")
+    r_extra = run_once(int(extra), cache, repeat) if extra else None
     eff = round((r_4n["turns_per_sec"] / r_n["turns_per_sec"]) / (four_n / n), 3)
     summary = {
         "turns": r_n["turns"],
@@ -78,6 +80,13 @@ def main() -> None:
         "target": 0.8,
         "pass": eff >= 0.8,
     }
+    extra_row = (
+        f"| local[{extra}] (saturation ref) | {r_extra['turns']} | "
+        f"{r_extra['elapsed_sec']} | {r_extra['turns_per_sec']} |"
+        if r_extra else ""
+    )
+    if r_extra:
+        summary[f"local[{extra}]_turns_per_sec"] = r_extra["turns_per_sec"]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH — extraction throughput & N→4N scaling
@@ -93,6 +102,7 @@ sandbox, so N vs 4N executors is evidenced at two local parallelism levels
 |---|---|---|---|
 | local[{n}]  (N)  | {r_n['turns']} | {r_n['elapsed_sec']} | {r_n['turns_per_sec']} |
 | local[{four_n}] (4N) | {r_4n['turns']} | {r_4n['elapsed_sec']} | {r_4n['turns_per_sec']} |
+{extra_row}
 
 **Scaling efficiency (rate_4N / rate_N) / 4 = {eff}** (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
 
