@@ -32,6 +32,43 @@ def stream_window_counts(spark, sf_dir):
     return windowed_event_counts(spark, sf_dir)
 
 
+@q(
+    "stream_stateful_sessions",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id <= 100
+    ),
+    sess AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def stream_stateful_sessions(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    30-min-gap sessionization whose state crosses a real micro-batch
+    boundary (two time-ordered files, one per trigger). The oracle is the
+    BATCH lag-gap sessionization SQL — streaming state must reproduce it
+    exactly."""
+    from ..streaming.microbatch import stateful_sessions
+
+    return stateful_sessions(spark, sf_dir)
+
+
 @q("mm_media_features", None)
 def mm_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload + metadata struct →

@@ -69,6 +69,108 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str,
     )
 
 
+def stateful_sessions(spark: SparkSession, sf_dir: str,
+                      gap_minutes: int = 30, max_user: int = 100) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with a
+    30-min inactivity gap via ``applyInPandasWithState`` — state (open
+    session index/count/last-ts) carries across micro-batches.
+
+    Deterministic multi-batch replay: the events table is split into two
+    time-ordered files (all ts < cut, then ts >= cut) consumed one file
+    per trigger, so every user's open session genuinely crosses the batch
+    boundary. Update-mode emits re-publish a session's row as its count
+    grows; the final read takes max(n_events) per (user, session), which
+    equals the batch lag-gap+running-sum sessionization (w_sessionize) —
+    same DuckDB oracle.
+
+    At scale: state is hash-partitioned by user_id (Spark state store);
+    a 1000-executor cluster shards it; no driver-side state.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_s = gap_minutes * 60.0
+    work = tempfile.mkdtemp(prefix="sess_stream_")
+    src_dir, ckpt_dir = os.path.join(work, "in"), os.path.join(work, "ckpt")
+    os.makedirs(src_dir)
+    try:
+        ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .filter(F.col("user_id") <= max_user)
+              .select("event_id", "ts", "user_id"))
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        cut = lo + (hi - lo) / 2  # time-range midpoint: both files non-trivial
+        ev.filter(F.col("ts") < F.lit(cut)).coalesce(1) \
+          .write.parquet(os.path.join(src_dir, "f0"))
+        ev.filter(F.col("ts") >= F.lit(cut)).coalesce(1) \
+          .write.parquet(os.path.join(src_dir, "f1"))
+        # file-source ordering is (mtime, path): force f0 strictly first
+        for i, d in enumerate(("f0", "f1")):
+            for f in os.listdir(os.path.join(src_dir, d)):
+                os.utime(os.path.join(src_dir, d, f), (1_000_000, 1_000_000 + i))
+
+        def sessionize(key, pdfs, state):
+            rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+            if state.exists:
+                idx, n, last = state.get
+            else:
+                idx, n, last = 0, 0, None
+            sess_ids, counts = [], []
+            for ts in rows["ts"]:
+                t = ts.timestamp()
+                if last is None or t - last > gap_s:
+                    if idx > 0:  # previous session closed → final emit
+                        sess_ids.append(idx)
+                        counts.append(n)
+                    idx += 1
+                    n = 1
+                else:
+                    n += 1
+                last = t
+            sess_ids.append(idx)  # open-session snapshot (update mode:
+            counts.append(n)      # a later batch re-emits a larger count)
+            state.update((idx, n, last))
+            yield pd.DataFrame({
+                "user_id": int(key[0]), "session_id": sess_ids,
+                "n_events": counts,
+            })
+
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        sessions = stream.groupBy("user_id").applyInPandasWithState(
+            sessionize,
+            outputStructType="user_id long, session_id long, n_events long",
+            stateStructType="session_idx long, n long, last_ts double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = "sess_stream_" + uuid.uuid4().hex[:8]
+        q = (sessions.writeStream.outputMode("update").format("memory")
+             .queryName(name).option("checkpointLocation", ckpt_dir).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.table(name)
+            .groupBy("user_id", "session_id")
+            .agg(F.max("n_events").alias("n_events"))
+            .orderBy("user_id", "session_id")
+            # memory-sink rows must outlive the temp checkpoint dir
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def foreach_batch_idempotent(spark: SparkSession, sf_dir: str, out_path: str) -> int:
     """foreachBatch consumer writing to an idempotent keyed sink
     (ON CONFLICT DO NOTHING analog): each micro-batch appends only events
