@@ -308,22 +308,42 @@ def dd_embed_cosine(spark, sf_dir):
             lambda acc, v: (acc + v).cast("decimal(38,9)"),
         ).cast("double")
 
+    def dot_double(x, y):
+        # plain double fold — ~1e-15 relative error, used only to PREFILTER
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, r: p.cast("double") * r.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
     norms = e.select(
         "vec_id", F.sqrt(dot_dec(F.col("embedding"), F.col("embedding"))).alias("nrm")
     )
     a = e.alias("a")
     b = e.alias("b")
-    dots = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+    # the quantized decimal fold is ~4x the cost of the double fold and is
+    # only needed for cross-engine bit-stability of SURVIVING pairs — so
+    # prefilter all O(n²) pairs in double with a margin far above the
+    # double-vs-decimal divergence, then recompute exactly on survivors
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        dot_dec(F.col("a.embedding"), F.col("b.embedding")).alias("dot"),
+        F.col("a.embedding").alias("ea"),
+        F.col("b.embedding").alias("eb"),
+        dot_double(F.col("a.embedding"), F.col("b.embedding")).alias("dotd"),
     )
     na = norms.alias("na")
     nb = norms.alias("nb")
-    cos = F.col("dot") / F.col("na.nrm") / F.col("nb.nrm")
-    return (
-        dots.join(na, F.col("na.vec_id") == F.col("vec_a"))
+    cand = (
+        pairs.join(na, F.col("na.vec_id") == F.col("vec_a"))
         .join(nb, F.col("nb.vec_id") == F.col("vec_b"))
+        .filter(F.col("dotd") / F.col("na.nrm") / F.col("nb.nrm") >= 0.35 - 1e-6)
+    )
+    cos = F.col("dot") / F.col("nrm_a") / F.col("nrm_b")
+    return (
+        cand.select("vec_a", "vec_b",
+                    F.col("na.nrm").alias("nrm_a"),
+                    F.col("nb.nrm").alias("nrm_b"),
+                    dot_dec(F.col("ea"), F.col("eb")).alias("dot"))
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .filter(cos >= 0.35)
         .orderBy(F.desc("cosine"), "vec_a", "vec_b")

@@ -314,20 +314,24 @@ def j5_reconciliation_diff(spark, sf_dir):
     predecessor twice: matches + anti-join leftovers) and Catalyst analysis
     goes exponential; at cluster scale the stage outputs would land in a
     scratch table instead (same plan-cut, durable)."""
+    # two checkpoints suffice to keep every downstream plan linear: lb1/lp1
+    # are the only nodes referenced on BOTH sides of the remaining cascade
+    # (stage-2 match + stage-2 leftovers + stage-3 outer); everything above
+    # them is referenced at most twice from a small scan subtree
     ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
     c = t(spark, sf_dir, "customer")
-    base = ckpt(_recon_side(c, pipe=False))
-    pipe = ckpt(_recon_side(c, pipe=True))
+    base = _recon_side(c, pipe=False)
+    pipe = _recon_side(c, pipe=True)
 
-    s1 = ckpt(_recon_match(_recon_uniq(base, "join_key"),
-                           _recon_uniq(pipe, "join_key"),
-                           "join_key", "join_key"))
+    s1 = _recon_match(_recon_uniq(base, "join_key"),
+                      _recon_uniq(pipe, "join_key"),
+                      "join_key", "join_key")
     lb1 = ckpt(_recon_leftover(base, s1, "b_row"))
     lp1 = ckpt(_recon_leftover(pipe, s1, "p_row"))
 
-    s2 = ckpt(_recon_match(_recon_uniq(lb1, "composite_key"),
-                           _recon_uniq(lp1, "composite_key"),
-                           "composite_key", "composite_key"))
+    s2 = _recon_match(_recon_uniq(lb1, "composite_key"),
+                      _recon_uniq(lp1, "composite_key"),
+                      "composite_key", "composite_key")
     lb2 = _recon_leftover(lb1, s2, "b_row")
     lp2 = _recon_leftover(lp1, s2, "p_row")
 
