@@ -27,7 +27,10 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--gen-turns", type=int, default=0,
                    help="synthesize a deterministic transcripts table of ~N turns instead of --input")
     p.add_argument("--output", required=True)
-    p.add_argument("--buckets", type=int, default=pipeline.DEFAULT_BUCKETS)
+    p.add_argument("--buckets", type=int, default=None,
+                   help="bucket/task count; default auto-sizes from input "
+                        "bytes (~256MB/bucket, floor = cores) and is pinned "
+                        "in the output's _job_meta.json for resume safety")
     p.add_argument("--run-id", type=int, default=1)
     p.add_argument("--max-buckets", type=int, default=None,
                    help="process at most K pending buckets (wave draining / kill simulation)")

@@ -25,6 +25,8 @@ Extraction is per-turn, so conversations need not be co-located; the
 
 from __future__ import annotations
 
+import json
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +37,9 @@ from .sources import tableio
 
 DEFAULT_BUCKETS = 64
 TURNS_PER_SLICE = 256
+# auto-sizing target: ~256 MB of INPUT per bucket/task. 100 TB → ~400k
+# buckets; 64 static buckets would mean 1.5 TB tasks
+TARGET_BUCKET_INPUT_BYTES = 256 << 20
 
 INPUT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
@@ -45,6 +50,43 @@ def turns_path(output_dir: str) -> str:
 
 def checkpoint_path(output_dir: str) -> str:
     return f"{output_dir}/checkpoint"
+
+
+def meta_path(output_dir: str) -> str:
+    return f"{output_dir}/_job_meta.json"
+
+
+def input_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` via the Hadoop FileSystem API — works for
+    local paths here and for HDFS/S3A on a cluster."""
+    jvm = spark._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return int(fs.getContentSummary(hpath).getLength())
+
+
+def auto_buckets(spark: SparkSession, input_path: str,
+                 target_bytes: int = TARGET_BUCKET_INPUT_BYTES) -> int:
+    """Size the bucket count from the data, not a constant: ceil(input
+    bytes / target) with a floor of the cluster's parallelism (never leave
+    cores idle on small inputs) and a sanity cap."""
+    cores = spark.sparkContext.defaultParallelism
+    by_size = -(-input_bytes(spark, input_path) // target_bytes)
+    return int(min(max(cores, by_size), 1 << 20))
+
+
+def read_meta(output_dir: str) -> dict | None:
+    p = meta_path(output_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_meta(output_dir: str, meta: dict) -> None:
+    os.makedirs(output_dir, exist_ok=True)
+    with open(meta_path(output_dir), "w") as f:
+        json.dump(meta, f)
 
 
 def _with_bucket(df: DataFrame, n_buckets: int,
@@ -74,17 +116,45 @@ def run_extraction(
     spark: SparkSession,
     input_path: str,
     output_dir: str,
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
     run_id: int = 1,
     max_buckets: int | None = None,
     turns_per_slice: int = TURNS_PER_SLICE,
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict.
 
+    ``n_buckets=None`` auto-sizes from input bytes (auto_buckets). The
+    resolved bucket config is PINNED in ``_job_meta.json`` on first run:
+    bucket_id depends on n_buckets, so a resume under a different count
+    would silently mis-hash partially-done work — conflicting explicit
+    values raise instead.
+
     ``max_buckets`` processes only the first K pending buckets — used by
     tests to simulate a killed run, and operationally to drain in waves.
     """
     t0 = time.time()
+    meta = read_meta(output_dir)
+    if meta is not None:
+        if n_buckets is not None and n_buckets != meta["n_buckets"]:
+            raise ValueError(
+                f"resume with n_buckets={n_buckets} but this output was "
+                f"started with n_buckets={meta['n_buckets']} "
+                f"({meta_path(output_dir)}); bucket hashing is pinned"
+            )
+        if turns_per_slice != meta["turns_per_slice"]:
+            raise ValueError(
+                f"resume with turns_per_slice={turns_per_slice} != pinned "
+                f"{meta['turns_per_slice']}"
+            )
+        n_buckets = meta["n_buckets"]
+    else:
+        if n_buckets is None:
+            n_buckets = auto_buckets(spark, input_path)
+        _write_meta(output_dir, {
+            "n_buckets": n_buckets, "turns_per_slice": turns_per_slice,
+            "input_path": input_path,
+        })
+
     src = spark.read.parquet(input_path).select(*INPUT_COLS)
     df = _with_bucket(src, n_buckets, turns_per_slice)
 
@@ -147,6 +217,7 @@ def run_extraction(
          .write.mode("append").parquet(checkpoint_path(output_dir))
     return {
         "buckets_done": len(fresh),
+        "n_buckets": n_buckets,
         "turns": sum(r.n_turns for r in fresh),
         "elapsed_sec": round(time.time() - t0, 3),
         # phase breakdown: scan→shuffle→extract→write vs the two bookkeeping

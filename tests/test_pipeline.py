@@ -88,6 +88,41 @@ def test_resume_from_partial_run(spark, transcripts_path, transcripts_pdf, tmp_p
     assert pipeline.read_extracted(spark, out).count() == len(transcripts_pdf)
 
 
+def test_auto_bucket_sizing(spark, transcripts_path, monkeypatch):
+    """auto_buckets = ceil(input bytes / target) with a cores floor."""
+    cores = spark.sparkContext.defaultParallelism
+    # tiny real input → floor at cores
+    assert pipeline.auto_buckets(spark, transcripts_path) == cores
+    # 10 GiB at 256 MiB/bucket → 40 buckets
+    monkeypatch.setattr(pipeline, "input_bytes", lambda s, p: 10 << 30)
+    assert pipeline.auto_buckets(spark, transcripts_path) == max(cores, 40)
+    # 100 TiB → 409600 buckets (this is why the count can't be a constant)
+    monkeypatch.setattr(pipeline, "input_bytes", lambda s, p: 100 << 40)
+    assert pipeline.auto_buckets(spark, transcripts_path) == 409600
+
+
+def test_resume_pins_bucket_config(spark, transcripts_path, transcripts_pdf,
+                                   tmp_path_factory):
+    """bucket_id depends on n_buckets: a resume under a different count
+    must refuse (silent mis-hash of partially-done work otherwise); a
+    resume with n_buckets=None picks up the pinned value."""
+    out = str(tmp_path_factory.mktemp("out") / "pinned")
+    s1 = pipeline.run_extraction(spark, transcripts_path, out,
+                                 n_buckets=8, run_id=1, max_buckets=3)
+    assert s1["buckets_done"] == 3 and s1["n_buckets"] == 8
+
+    with pytest.raises(ValueError, match="pinned"):
+        pipeline.run_extraction(spark, transcripts_path, out,
+                                n_buckets=16, run_id=2)
+    with pytest.raises(ValueError, match="turns_per_slice"):
+        pipeline.run_extraction(spark, transcripts_path, out,
+                                run_id=2, turns_per_slice=64)
+
+    s2 = pipeline.run_extraction(spark, transcripts_path, out, run_id=2)
+    assert s2["resumed"] is True and s2["n_buckets"] == 8
+    assert s1["turns"] + s2["turns"] == len(transcripts_pdf)
+
+
 def test_bucket_assignment_is_deterministic(spark, transcripts_path, extracted):
     out, _ = extracted
     df = pipeline.read_extracted(spark, out)
