@@ -646,3 +646,38 @@ def x7_ner_spans(spark, sf_dir):
     return extract_spans(t(spark, sf_dir, "documents")).orderBy(
         "doc_id", "span_id"
     )
+
+
+def _x7_counts_oracle() -> str:
+    """Generated per-label DuckDB count query — RE2 runs the same patterns
+    the operator runs, so the extractor's match semantics (though not its
+    offsets, which SQL can't express) are oracle-gated."""
+    from ..operators.ner import PATTERNS
+
+    arms = "\n      UNION ALL ".join(
+        f"SELECT doc_id, '{label}' AS label, "
+        f"len(regexp_extract_all(text, '{pat.pattern}')) AS n_spans FROM d"
+        for label, pat, _conf in PATTERNS
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    m AS ({arms})
+    SELECT doc_id, label, n_spans FROM m WHERE n_spans > 0
+    ORDER BY doc_id, label
+    """
+
+
+@q("x7_ner_label_counts", _x7_counts_oracle())
+def x7_ner_label_counts(spark, sf_dir):
+    """X7 match-semantics oracle: per-(doc, label) span counts from the
+    REAL extractor (chunked + offset-remapped + deduped) must equal plain
+    whole-text regex counts in DuckDB — proving the chunk/overlap machinery
+    neither drops nor duplicates matches."""
+    from ..operators.ner import extract_spans
+
+    return (
+        extract_spans(t(spark, sf_dir, "documents"))
+        .groupBy("doc_id", "label")
+        .agg(F.count("*").alias("n_spans"))
+        .orderBy("doc_id", "label")
+    )
