@@ -52,7 +52,35 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def bench_extraction(spark) -> tuple[float, int, float]:
+def _sample_equality(spark, cache: str, out: str, k: int = 200) -> bool:
+    """North-rule certificate: K sampled output turns must equal the golden
+    extractor on the same input (the full-table equality lives in pytest;
+    this pins the BENCHED run itself)."""
+    from deepseek_ocr_vllm_spark import pipeline
+    from deepseek_ocr_vllm_spark.extraction import golden
+
+    got = (
+        pipeline.read_extracted(spark, out)
+        .select("conv_id", "turn_idx", "clean_text", "n_spans")
+        .sample(False, min(1.0, (k * 4) / max(BENCH_TURNS, 1)), seed=7)
+        .limit(k).collect()
+    )
+    src = spark.read.parquet(cache).select("conv_id", "turn_idx", "text")
+    keys = {(r.conv_id, r.turn_idx) for r in got}
+    texts = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in src.filter(
+            src.conv_id.isin([c for c, _ in keys])).collect()
+        if (r.conv_id, r.turn_idx) in keys
+    }
+    for r in got:
+        g = golden.extract_turn(texts[(r.conv_id, r.turn_idx)])
+        if r.clean_text != g["clean_text"] or r.n_spans != g["n_spans"]:
+            return False
+    return len(got) > 0
+
+
+def bench_extraction(spark) -> tuple[float, int, float, bool]:
     """Extraction throughput on a cached deterministic transcripts table."""
     from deepseek_ocr_vllm_spark import fixtures, pipeline
 
@@ -65,9 +93,10 @@ def bench_extraction(spark) -> tuple[float, int, float]:
     # threads; at cluster scale pick buckets ≈ total cores
     n_buckets = max(int(os.environ.get("SPARK_GRAFT_CPUS", "32")) // 2, 8)
     best = None
+    equality_ok = False
     # best-of-2: single-run timings on this box are bimodal (host/NUMA
     # noise produces occasional 2-4x outliers on identical runs)
-    for _ in range(2):
+    for i in range(2):
         out = tempfile.mkdtemp(prefix="bench_extract_")
         try:
             t0 = time.time()
@@ -75,10 +104,12 @@ def bench_extraction(spark) -> tuple[float, int, float]:
             elapsed = time.time() - t0
             if best is None or elapsed < best[0]:
                 best = (elapsed, summary["turns"])
+            if i == 0:  # certify the landed output once (untimed)
+                equality_ok = _sample_equality(spark, cache, out)
         finally:
             shutil.rmtree(out, ignore_errors=True)
     elapsed, turns = best
-    return elapsed, turns, round(turns / elapsed, 1)
+    return elapsed, turns, round(turns / elapsed, 1), equality_ok
 
 
 def main() -> None:
@@ -90,7 +121,7 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
     queries = bench_queries(spark, sf_dir)
-    ext_sec, ext_turns, turns_per_sec = bench_extraction(spark)
+    ext_sec, ext_turns, turns_per_sec, equality_ok = bench_extraction(spark)
     total = round(sum(queries.values()) + ext_sec, 3)
     print(json.dumps({
         "metric": "headline_queries_plus_extraction_sec",
@@ -100,6 +131,7 @@ def main() -> None:
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
         "extract_turns": ext_turns,
         "turns_per_sec": turns_per_sec,
+        "per_turn_equality_sample_ok": equality_ok,
         "cpus": int(cpus),
     }))
 
