@@ -9,10 +9,13 @@ Plan shape, designed for 10^12 turns on a 1000-executor cluster:
        conversation across buckets instead of pinning one core — the
        reference's hash(path)%n endpoint-salting idiom, job.py:144-148]
   → anti-join checkpoint(status=done) on bucket_id        [resume]
+  → mapInArrow extract (one Python call per Arrow batch, on scan
+      partitions — BEFORE the shuffle, so the exchange carries the smaller
+      cleaned output, not raw text, and UDF parallelism is sized by input
+      splits rather than bucket count)
   → repartition(n_buckets, bucket_id)
       .sortWithinPartitions(conv_id, turn_idx)            [stable turn order;
       task == bucket == output dir == lineage row]
-  → mapInArrow extract (one Python call per Arrow batch)
   → write partitionBy(bucket_id), dynamic overwrite       [per-bucket atomic,
       idempotent re-run]
   → append per-bucket lineage+metrics rows to checkpoint  [A11 audit pattern,
@@ -105,6 +108,23 @@ def _with_bucket(df: DataFrame, n_buckets: int,
     )
 
 
+def build_extract_plan(df: DataFrame, n_buckets: int) -> DataFrame:
+    """The pre-write plan (also asserted by tests/test_plan_quality.py):
+
+      extract (mapInArrow on SCAN partitions — extraction is per-turn, so
+          it runs before the shuffle: the exchange then moves the smaller
+          cleaned output instead of raw text, and UDF-stage parallelism is
+          sized by maxPartitionBytes, independent of the bucket count)
+      → repartition(n_buckets, bucket_id)  [the ONLY shuffle: task ==
+          bucket == output dir == lineage row]
+      → sortWithinPartitions(conv_id, turn_idx)  [stable turn order, W4]
+    """
+    out = extract_map_in_arrow(df, text_col="text").drop("text")
+    return out.repartition(n_buckets, "bucket_id").sortWithinPartitions(
+        "conv_id", "turn_idx"
+    )
+
+
 def completed_buckets(spark: SparkSession, output_dir: str) -> DataFrame | None:
     ckpt = tableio.read_or_none(spark, checkpoint_path(output_dir))
     if ckpt is None:
@@ -176,12 +196,7 @@ def run_extraction(
                     "run_id": run_id, "resumed": done is not None}
         df = df.filter(F.col("bucket_id").isin(pending))
 
-    # repartition on the bucket itself: task boundaries == output partition
-    # dirs == lineage rows (no cross-dir write fan-out at scale)
-    work = df.repartition(n_buckets, "bucket_id").sortWithinPartitions(
-        "conv_id", "turn_idx"
-    )
-    out = extract_map_in_arrow(work, text_col="text").drop("text")
+    out = build_extract_plan(df, n_buckets)
     tableio.write_partitioned(out, turns_path(output_dir), ["bucket_id"])
     t_write = time.time()
 

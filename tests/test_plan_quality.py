@@ -79,20 +79,20 @@ def test_left_anti_filter_pushdown(spark):
 
 
 def test_pipeline_single_shuffle(spark, transcripts_path, tmp_path):
-    """The extraction pipeline's pre-write plan has exactly ONE exchange:
-    the salted bucket repartition (which doubles as the write partitioning
-    and the lineage unit)."""
-    from pyspark.sql import functions as F
-
+    """The extraction pipeline's pre-write plan (the REAL one, via
+    build_extract_plan) has exactly ONE exchange — the salted bucket
+    repartition — and it sits ABOVE the Arrow UDF, so the shuffle carries
+    extracted output, not raw text."""
     from deepseek_ocr_vllm_spark import pipeline
-    from deepseek_ocr_vllm_spark.operators.extract import extract_map_in_arrow
 
     src = spark.read.parquet(transcripts_path).select(*pipeline.INPUT_COLS)
-    df = pipeline._with_bucket(src, 8)
-    work = df.repartition(8, "bucket_id").sortWithinPartitions(
-        "conv_id", "turn_idx")
-    out = extract_map_in_arrow(work, text_col="text").drop("text")
+    out = pipeline.build_extract_plan(pipeline._with_bucket(src, 8), 8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan
     assert "BatchEvalPython" not in plan
+    # UDF below the exchange: the Arrow stage appears after (deeper than)
+    # the exchange in the plan tree's string rendering
+    assert plan.index("Exchange") < max(
+        plan.find("MapInArrow"), plan.find("PythonMapInArrow")
+    ), plan
