@@ -25,7 +25,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-PROCS = (2, 8, 16, 32)
+PROCS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_PP_PROCS", "2,8,16,32").split(",")
+)
 
 
 def _worker(path: str, barrier, out) -> None:
@@ -87,12 +89,12 @@ def main() -> None:
                 "per_core": round(rows / slowest / p, 1),
             }
             print(json.dumps({"procs": p, **results[p]}))
-        e28 = (results[8]["aggregate_rows_per_sec"]
-               / results[2]["aggregate_rows_per_sec"]) / 4
-        e832 = (results[32]["aggregate_rows_per_sec"]
-                / results[8]["aggregate_rows_per_sec"]) / 4
-        print(json.dumps({"efficiency_2_to_8": round(e28, 2),
-                          "efficiency_8_to_32": round(e832, 2)}))
+        effs = {}
+        for lo, hi in zip(PROCS, PROCS[1:]):
+            effs[f"efficiency_{lo}_to_{hi}"] = round(
+                (results[hi]["aggregate_rows_per_sec"]
+                 / results[lo]["aggregate_rows_per_sec"]) / (hi / lo), 2)
+        print(json.dumps(effs))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
