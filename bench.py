@@ -41,14 +41,20 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # JVM/codegen warmup so the first measured query isn't charged for JIT
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
 
+    # best-of-2 per query: this box drifts 2-4x between noise windows
+    # (BENCH/BASELINE.md "Measurement discipline"); a single sample is
+    # as much a measurement of the window as of the query
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn, _sql = REGISTRY[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        _ = n
+    for _round in range(2):
+        for name in HEADLINE:
+            fn, _sql = REGISTRY[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            el = round(time.time() - t0, 3)
+            if name not in times or el < times[name]:
+                times[name] = el
+            _ = n
     return times
 
 

@@ -23,6 +23,7 @@ PY
 cd "$(mktemp -d)"
 exec spark-submit \
   --master "${SPARK_GRAFT_MASTER:-local[8]}" \
+  --driver-memory "${SPARK_GRAFT_DRIVER_MEM:-8g}" \
   --conf spark.sql.shuffle.partitions=32 \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.session.timeZone=UTC \
