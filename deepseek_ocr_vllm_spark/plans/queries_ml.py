@@ -308,33 +308,40 @@ def dd_embed_cosine(spark, sf_dir):
             lambda acc, v: (acc + v).cast("decimal(38,9)"),
         ).cast("double")
 
-    def dot_double(x, y):
-        # plain double fold — ~1e-15 relative error, used only to PREFILTER
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, r: p.cast("double") * r.cast("double")),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
+    def np_dot(batches):
+        # numpy row-wise dot over the whole Arrow batch — used only to
+        # PREFILTER (double has ~1e-15 relative error vs the exact fold)
+        import numpy as np
+
+        for pdf in batches:
+            ea = np.vstack(pdf["ea"].to_numpy()).astype("float64")
+            eb = np.vstack(pdf["eb"].to_numpy()).astype("float64")
+            pdf["dotd"] = np.einsum("ij,ij->i", ea, eb)
+            yield pdf
 
     norms = e.select(
         "vec_id", F.sqrt(dot_dec(F.col("embedding"), F.col("embedding"))).alias("nrm")
     )
     a = e.alias("a")
     b = e.alias("b")
-    # the quantized decimal fold is ~4x the cost of the double fold and is
-    # only needed for cross-engine bit-stability of SURVIVING pairs — so
-    # prefilter all O(n²) pairs in double with a margin far above the
-    # double-vs-decimal divergence, then recompute exactly on survivors
+    # the quantized decimal fold is only needed for cross-engine
+    # bit-stability of SURVIVING pairs — prefilter all O(n²) pairs with a
+    # vectorized numpy dot (margin far above double-vs-decimal divergence),
+    # then recompute exactly on survivors
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
         F.col("a.embedding").alias("ea"),
         F.col("b.embedding").alias("eb"),
-        dot_double(F.col("a.embedding"), F.col("b.embedding")).alias("dotd"),
+    )
+    dotted = pairs.mapInPandas(
+        np_dot,
+        "vec_a long, vec_b long, ea array<float>, eb array<float>, dotd double",
     )
     na = norms.alias("na")
     nb = norms.alias("nb")
     cand = (
-        pairs.join(na, F.col("na.vec_id") == F.col("vec_a"))
+        dotted.join(na, F.col("na.vec_id") == F.col("vec_a"))
         .join(nb, F.col("nb.vec_id") == F.col("vec_b"))
         .filter(F.col("dotd") / F.col("na.nrm") / F.col("nb.nrm") >= 0.35 - 1e-6)
     )
