@@ -148,8 +148,8 @@ write), so the reported efficiency is a lower bound on cluster behavior.
 ## Scale-up stability (10M turns, single pass — measured round 1)
 
 Same job at 6.7x the scaling-evidence volume, auto-sized buckets:
-10,000,107 turns in 250.4 s at local[32] = 39,930 turns/s (~12 GB input),
-bookkeeping-light phases (metrics 1.5 s, checkpoint 2.3 s), 100 sampled
+10,000,107 turns in 87.0 s at local[32] = 114,900 turns/s (~12 GB input),
+bookkeeping-light phases (metrics 1.2 s, checkpoint 1.5 s), 100 sampled
 output turns equal to the golden extractor.
 
 ## Measurement discipline
