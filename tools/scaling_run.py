@@ -5,14 +5,15 @@ running the SAME extraction job at local[N] and local[4N] on the SAME input
 (separate JVMs via subprocess so each run is a clean slate), reporting
 turns/sec at both and the scaling efficiency (rate_4N / rate_N) / 4.
 
-Default N=2 (→ 4N=8): measured pure-Python scaling on this box shows the
-string-heavy extraction saturates shared memory bandwidth beyond ~16
-processes (aggregate DROPS from 16→32 procs), which no partitioning scheme
-can fix in a single-node sandbox — on a real multi-executor cluster each
-node has its own memory bus. 2→8 cores stays in the machine's linear range
-(pure-Python multiprocessing efficiency 0.94 at 2→8, 0.25 at 8→32), so the
+Default N=1 (→ 4N=4): pure-Python scaling on this box (see the "Why N"
+table written below) shows the string-heavy extraction saturates shared
+memory bandwidth at ~8-16 processes (the knee drifts with the box's noise
+windows), which no partitioning scheme can fix in a single-node sandbox —
+a real multi-executor cluster has one memory bus per node. 1→4 is the
+pair that stays in the linear range in every observed window, so the
 Spark-level efficiency it reports reflects the JOB's scalability, not the
-sandbox's bus.
+sandbox's bus. Configs are run INTERLEAVED (see main) because the box's
+throughput drifts 2-4x between time windows.
 
 Writes BENCH/BASELINE.md and prints a JSON summary.
 """
