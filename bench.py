@@ -93,10 +93,10 @@ def bench_extraction(spark) -> tuple[float, int, float, bool]:
     cache = os.path.join(tempfile.gettempdir(), f"bench_transcripts_{BENCH_TURNS}.parquet")
     if not os.path.exists(cache):
         fixtures.write_transcripts_parquet(cache, BENCH_TURNS)
-    # buckets ≈ half the cores: the string-heavy kernel saturates this box's
-    # memory bus near 32 workers (BENCH/BASELINE.md curve), so one wave of
-    # cores/2 extraction workers leaves headroom for the JVM's shuffle/write
-    # threads; at cluster scale pick buckets ≈ total cores
+    # buckets size the POST-shuffle sort+write stage only (extraction runs
+    # pre-shuffle on scan splits — pipeline.build_extract_plan); cores/2
+    # write tasks measured well here, and fewer/larger output files is the
+    # right shape anyway. At cluster scale auto-sizing picks the count.
     n_buckets = max(int(os.environ.get("SPARK_GRAFT_CPUS", "32")) // 2, 8)
     best = None
     equality_ok = False

@@ -30,6 +30,26 @@ def canon_col_name_py(name: str) -> str:
     return CANON_ALIASES.get(c, c)
 
 
+def dedupe_canon_names(raw_names) -> list[str]:
+    """Canonicalize a header row and de-dup repeats deterministically.
+
+    The suffix probes until genuinely unused: naive `base_{count}` renames
+    collide when a header literally named 'A_1' coexists with two 'A's
+    (['A','A_1','A'] must become ['A','A_1','A_2'], not a duplicate 'A_1'
+    that silently shadows a column)."""
+    used: set[str] = set()
+    out: list[str] = []
+    for h in raw_names:
+        base = canon_col_name_py("" if h is None else str(h)) or "COL"
+        c, k = base, 0
+        while c in used:
+            k += 1
+            c = f"{base}_{k}"
+        used.add(c)
+        out.append(c)
+    return out
+
+
 def canon_col_name(col: Column) -> Column:
     """F1 as a Column expr (upper → non-alnum→_ → strip _ → alias map)."""
     c = F.regexp_replace(F.upper(col), "[^A-Z0-9]+", "_")

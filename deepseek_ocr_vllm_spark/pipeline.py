@@ -28,7 +28,6 @@ Extraction is per-turn, so conversations need not be co-located; the
 from __future__ import annotations
 
 import json
-import os
 import time
 from contextlib import contextmanager
 
@@ -38,7 +37,6 @@ from pyspark.sql import functions as F
 from .operators.extract import extract_map_in_arrow
 from .sources import tableio
 
-DEFAULT_BUCKETS = 64
 TURNS_PER_SLICE = 256
 # auto-sizing target: ~256 MB of INPUT per bucket/task. 100 TB → ~400k
 # buckets; 64 static buckets would mean 1.5 TB tasks
@@ -59,37 +57,55 @@ def meta_path(output_dir: str) -> str:
     return f"{output_dir}/_job_meta.json"
 
 
-def input_bytes(spark: SparkSession, path: str) -> int:
-    """Total bytes under ``path`` via the Hadoop FileSystem API — works for
-    local paths here and for HDFS/S3A on a cluster."""
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) via the Hadoop FS API — works for local paths
+    here and for HDFS/S3A on a cluster (os.path would silently treat a
+    's3a://…' URI as a weird local directory)."""
     jvm = spark._jvm  # noqa: SLF001
     hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath  # noqa: SLF001
+
+
+def input_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path``. Raises if the path does not exist —
+    callers rely on that to validate the input BEFORE pinning job meta."""
+    fs, hpath = _hadoop_fs(spark, path)
     return int(fs.getContentSummary(hpath).getLength())
 
 
 def auto_buckets(spark: SparkSession, input_path: str,
-                 target_bytes: int = TARGET_BUCKET_INPUT_BYTES) -> int:
+                 target_bytes: int = TARGET_BUCKET_INPUT_BYTES,
+                 in_bytes: int | None = None) -> int:
     """Size the bucket count from the data, not a constant: ceil(input
     bytes / target) with a floor of the cluster's parallelism (never leave
     cores idle on small inputs) and a sanity cap."""
     cores = spark.sparkContext.defaultParallelism
-    by_size = -(-input_bytes(spark, input_path) // target_bytes)
+    if in_bytes is None:
+        in_bytes = input_bytes(spark, input_path)
+    by_size = -(-in_bytes // target_bytes)
     return int(min(max(cores, by_size), 1 << 20))
 
 
-def read_meta(output_dir: str) -> dict | None:
-    p = meta_path(output_dir)
-    if not os.path.exists(p):
+def read_meta(spark: SparkSession, output_dir: str) -> dict | None:
+    fs, p = _hadoop_fs(spark, meta_path(output_dir))
+    if not fs.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    stream = fs.open(p)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(  # noqa: SLF001
+            stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(raw)
 
 
-def _write_meta(output_dir: str, meta: dict) -> None:
-    os.makedirs(output_dir, exist_ok=True)
-    with open(meta_path(output_dir), "w") as f:
-        json.dump(meta, f)
+def _write_meta(spark: SparkSession, output_dir: str, meta: dict) -> None:
+    fs, p = _hadoop_fs(spark, meta_path(output_dir))
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
 
 
 def _with_bucket(df: DataFrame, n_buckets: int,
@@ -160,7 +176,12 @@ def run_extraction(
     tests to simulate a killed run, and operationally to drain in waves.
     """
     t0 = time.time()
-    meta = read_meta(output_dir)
+    # validate the input FIRST (input_bytes raises on a missing path) so a
+    # typo'd first run cannot pin job meta for an output that never ran;
+    # the byte count also feeds auto-sizing and the scan-split override
+    # (one FS listing — on an object store that walk is expensive)
+    in_bytes = input_bytes(spark, input_path)
+    meta = read_meta(spark, output_dir)
     if meta is not None:
         if n_buckets is not None and n_buckets != meta["n_buckets"]:
             raise ValueError(
@@ -176,19 +197,19 @@ def run_extraction(
         n_buckets = meta["n_buckets"]
     else:
         if n_buckets is None:
-            n_buckets = auto_buckets(spark, input_path)
-        _write_meta(output_dir, {
+            n_buckets = auto_buckets(spark, input_path, in_bytes=in_bytes)
+        _write_meta(spark, output_dir, {
             "n_buckets": n_buckets, "turns_per_slice": turns_per_slice,
             "input_path": input_path,
         })
 
-    with _scan_split_override(spark, input_path):
+    with _scan_split_override(spark, in_bytes):
         return _run_pending(spark, input_path, output_dir, n_buckets,
                             run_id, max_buckets, turns_per_slice, t0)
 
 
 @contextmanager
-def _scan_split_override(spark: SparkSession, input_path: str):
+def _scan_split_override(spark: SparkSession, in_bytes: int):
     """The extraction UDF runs on SCAN partitions (pre-shuffle), so split
     size must give that stage real parallelism even on small inputs: aim
     for ~4 task waves per core, but never below 4 MB and never above the
@@ -196,8 +217,7 @@ def _scan_split_override(spark: SparkSession, input_path: str):
     splitting behaves normally)."""
     key = "spark.sql.files.maxPartitionBytes"
     cores = spark.sparkContext.defaultParallelism
-    split = max(4 << 20,
-                min(128 << 20, input_bytes(spark, input_path) // (cores * 4)))
+    split = max(4 << 20, min(128 << 20, in_bytes // (cores * 4)))
     prev = spark.conf.get(key, None)
     spark.conf.set(key, str(split))
     try:

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.strings import canon_col_name_py
+from ..functions.strings import dedupe_canon_names
 
 
 def _repair_lines(lines: DataFrame, col: str = "value") -> DataFrame:
@@ -45,16 +45,7 @@ def read_registry_csv(
         lines = _repair_lines(lines)
     header_line = lines.limit(1).collect()[0]["value"]
     raw_cols = [h.strip().strip('"') for h in header_line.split(sep)]
-    canon = []
-    seen: dict[str, int] = {}
-    for h in raw_cols:
-        c = canon_col_name_py(h) or "COL"
-        if c in seen:  # de-dup repeated headers deterministically
-            seen[c] += 1
-            c = f"{c}_{seen[c]}"
-        else:
-            seen[c] = 0
-        canon.append(c)
+    canon = dedupe_canon_names(raw_cols)
 
     schema = ", ".join(f"`{c}` string" for c in canon)
     body = lines.withColumn("__rn", F.monotonically_increasing_id())

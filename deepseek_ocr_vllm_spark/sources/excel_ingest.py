@@ -22,7 +22,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.strings import canon_col_name_py
+from ..functions.strings import dedupe_canon_names
 
 SKIP_SHEETS = frozenset(["info", "metadata", "about", "readme", "notes"])
 
@@ -48,16 +48,7 @@ def normalize_rows(rows: list[list]) -> tuple[list[str], list[list[str]]]:
             break
     if header_raw is None:
         return [], []
-    canon: list[str] = []
-    seen: dict[str, int] = {}
-    for h in header_raw:
-        c = canon_col_name_py("" if h is None else str(h)) or "COL"
-        if c in seen:
-            seen[c] += 1
-            c = f"{c}_{seen[c]}"
-        else:
-            seen[c] = 0
-        canon.append(c)
+    canon = dedupe_canon_names(header_raw)
     width = len(canon)
     body = []
     for r in it:

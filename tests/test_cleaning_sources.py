@@ -167,6 +167,11 @@ def test_excel_sheet_selection_and_row_normalization():
     ]
     header, body = X.normalize_rows(rows)
     assert header == ["VESSEL_NAME", "IMO", "FLAG", "VESSEL_NAME_1"]
+    # dedup must probe past literal collisions: ['A','A_1','A'] may not
+    # produce a second 'A_1' that silently shadows the real column
+    from deepseek_ocr_vllm_spark.functions.strings import dedupe_canon_names
+    assert dedupe_canon_names(["A", "A_1", "A"]) == ["A", "A_1", "A_2"]
+    assert dedupe_canon_names(["A", "A", "A_1"]) == ["A", "A_1", "A_1_1"]
     assert body == [
         ["Aurora", "1234567", "", "dup"],
         ["Bella", "", "", ""],

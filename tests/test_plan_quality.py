@@ -26,7 +26,6 @@ EXECUTES_ON_BUILD = {
     "j5_reconciliation_diff",      # localCheckpoint stages
     "stream_window_counts",        # streaming drain
     "stream_stateful_sessions",    # streaming drain
-    "x10_rules_clean",             # big but lazy — still slow to optimize; keep
 }
 
 # non-equi by design: pairwise similarity + scalar broadcast cross joins

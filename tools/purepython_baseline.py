@@ -6,7 +6,10 @@ scaling curve from the job's. Each worker pre-loads its own slice file,
 all workers start extraction together on a barrier, and only the extract
 phase is timed (aggregate = total rows / slowest worker).
 
-Feeds the "Why N=2" table in BENCH/BASELINE.md (see tools/scaling_run.py).
+Feeds the "Why N" table in BENCH/BASELINE.md (see tools/scaling_run.py):
+the default PROCS sweep covers the published 1..32 curve, including the
+local[1]→local[4] pair the scaling evidence rests on. Override with
+SPARK_GRAFT_PP_PROCS=comma,separated,counts.
 
 Usage: python tools/purepython_baseline.py [rows_per_proc]
 """
@@ -26,7 +29,8 @@ sys.path.insert(0, REPO)
 
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 PROCS = tuple(
-    int(x) for x in os.environ.get("SPARK_GRAFT_PP_PROCS", "2,8,16,32").split(",")
+    int(x) for x in
+    os.environ.get("SPARK_GRAFT_PP_PROCS", "1,2,4,8,16,32").split(",")
 )
 
 
