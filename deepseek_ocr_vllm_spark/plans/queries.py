@@ -657,9 +657,9 @@ def set_union_distinct(spark, sf_dir):
     "pv1_pivot_long_to_wide",
     """
     SELECT o_custkey,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
     FROM orders WHERE o_custkey <= 300
     GROUP BY o_custkey ORDER BY o_custkey
     """,
@@ -767,10 +767,10 @@ def a12_monotonic_id_allocation(spark, sf_dir):
     ),
     sess AS (
       SELECT user_id, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, COUNT(*) AS n_events
