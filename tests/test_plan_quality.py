@@ -28,9 +28,13 @@ EXECUTES_ON_BUILD = {
     "stream_stateful_sessions",    # streaming drain
 }
 
-# non-equi by design: pairwise similarity + scalar broadcast cross joins
+# non-equi by design: scalar/1-row broadcast cross joins (query-vector or
+# allocated-id against the fact side) and the band-key bucket joins whose
+# residual `<` comparisons ride on an equi join. dd_embed_cosine and
+# dd_simhash were removed in round 2: candidate generation is now blocked
+# (label-cell equi-join / pigeonhole band equi-join) — no nested loop left.
 NESTED_LOOP_OK = {
-    "dd_embed_cosine", "dd_ngram_jaccard", "dd_simhash", "dd_minhash_lsh",
+    "dd_ngram_jaccard", "dd_minhash_lsh",
     "sim_topk_bruteforce", "sim_ivf_topk", "a12_monotonic_id_allocation",
     "j8_expected_columns_anti", "tx_fingerprint",
 }
