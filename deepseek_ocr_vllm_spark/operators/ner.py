@@ -44,14 +44,31 @@ MODEL_NAME = "regex-gazetteer-v1"
 
 
 def extract_spans_text(doc_id: int, text: str) -> list[tuple]:
-    """Pure function: spans for one document (chunked, offsets remapped)."""
+    """Pure function: spans for one document (chunked, offsets remapped).
+
+    Boundary discipline (every pattern is \\b-anchored and shorter than
+    CHUNK_OVERLAP): truncating a chunk manufactures a word boundary at its
+    edges, so a match TOUCHING a cut edge may be an artifact (e.g. an
+    8-digit run split after 4 digits "matching" YEAR). A match is kept only
+    when at least one REAL character of context exists inside the chunk on
+    both sides — i.e. skip matches ending at the end of a non-final chunk
+    or starting at offset 0 of a non-first chunk. Every genuine match
+    (length < CHUNK_OVERLAP) sits strictly inside some chunk, so nothing
+    is lost; the (start,end,label) dedup collapses the double-scanned
+    overlap region."""
     found: dict[tuple[int, int, str], float] = {}
     n = len(text)
     pos = 0
     while pos == 0 or pos < n:
         chunk = text[pos : pos + CHUNK_SIZE]
+        is_first = pos == 0
+        is_final = pos + CHUNK_SIZE >= n
         for label, pat, conf in PATTERNS:
             for m in pat.finditer(chunk):
+                if not is_final and m.end() >= len(chunk):
+                    continue  # artificial trailing \b at the cut
+                if not is_first and m.start() == 0:
+                    continue  # artificial leading \b at the cut
                 start = pos + m.start()  # X8: chunk → document offsets
                 end = pos + m.end()
                 found.setdefault((start, end, label), conf)

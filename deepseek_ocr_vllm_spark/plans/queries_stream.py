@@ -1,9 +1,13 @@
 """Streaming + multimodal queries() entries.
 
 stream_window_counts has a SQL oracle (tumbling window == floor-epoch
-bucketing); mm_media_features is rows-only (its decode stage is a
-clearly-marked deterministic stub over mapInPandas — not SQL-expressible
-by design, the point is the Arrow/binary plumbing).
+bucketing). mm_media_features' decode stage is a clearly-marked
+deterministic stub over mapInPandas (the point is the Arrow/binary
+plumbing) — but the stub is pure byte arithmetic over the utf-8 payload,
+so its oracle re-derives every feature in SQL from the same spec. The
+byte-level SQL (ascii(), char-class counts) relies on the corpus being
+ASCII, which the fixture probe verified (all docs printable ASCII, so
+byte == char).
 """
 
 from __future__ import annotations
@@ -69,11 +73,34 @@ def stream_stateful_sessions(spark, sf_dir):
     return stateful_sessions(spark, sf_dir)
 
 
-@q("mm_media_features", None)
+@q(
+    "mm_media_features",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'image/png'
+                WHEN 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS content_type,
+           length(text) AS size_bytes,
+           substr(sha256(text), 1, 16) AS sha16,
+           CAST(64 + (ascii(substr(text, 1, 1)) % 16) * 64 AS INTEGER)
+             AS width,
+           CAST(64 + (ascii(substr(text, length(text), 1)) % 9) * 64
+                AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                     ELSE 1 + length(text) % 240 END AS INTEGER) AS n_frames,
+           ROUND(CAST(length(regexp_replace(text, '[^@-~]', '', 'g'))
+                      AS DOUBLE) / length(text), 6) AS hist_b1
+    FROM documents ORDER BY doc_id
+    """,
+)
 def mm_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload + metadata struct →
     mapInPandas feature extraction (deterministic stub decoder —
-    operators/multimodal.py)."""
+    operators/multimodal.py). The oracle re-derives the stub's byte
+    arithmetic in SQL: payload = utf-8 text (ASCII corpus ⇒ byte == char ⇒
+    first/last byte = ascii(), byte_hist[1] = chars in [@-~] i.e. bytes
+    64-126 / total)."""
     from pyspark.sql import functions as F
 
     from ..operators.multimodal import attach_binary_payload, extract_media_features

@@ -636,11 +636,59 @@ def p1_strict_threshold(spark, sf_dir):
     )
 
 
-@q("x7_ner_spans", None)
+def _x7_spans_oracle() -> str:
+    """Full span oracle INCLUDING offsets: DuckDB has no finditer, so match
+    start positions are reconstructed from regexp_split_to_array /
+    regexp_extract_all prefix sums — start_k = len(parts[1..k]) +
+    len(matches[1..k-1]). Exact for non-overlapping leftmost matches (RE2
+    and Python re agree on these \\b-anchored patterns over the ASCII
+    corpus); span_id re-derived as the per-doc (start, end, label)
+    row_number, the same total order the extractor sorts by."""
+    from ..operators.ner import MODEL_NAME, PATTERNS
+
+    arms = "\n      UNION ALL ".join(
+        f"SELECT doc_id, '{label}' AS label, "
+        f"CAST({conf} AS DOUBLE) AS confidence, "
+        f"regexp_extract_all(text, '{pat.pattern}') AS m, "
+        f"regexp_split_to_array(text, '{pat.pattern}') AS p FROM d"
+        for label, pat, conf in PATTERNS
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    per AS ({arms}),
+    idx AS (
+      SELECT doc_id, label, confidence, m, p,
+             unnest(range(1, len(m) + 1)) AS i
+      FROM per
+    ),
+    spans AS (
+      SELECT doc_id, label, confidence,
+             CAST(COALESCE(list_sum(list_transform(p[1:i], y -> length(y))), 0)
+                + COALESCE(list_sum(list_transform(m[1:i-1], y -> length(y))), 0)
+               AS INTEGER) AS "start",
+             m[i] AS mtext
+      FROM idx
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY "start", "start" + length(mtext), label)
+                - 1 AS INTEGER) AS span_id,
+           label, "start",
+           CAST("start" + length(mtext) AS INTEGER) AS "end",
+           mtext AS text, confidence,
+           '{MODEL_NAME}' AS model
+    FROM spans
+    ORDER BY doc_id, span_id
+    """
+
+
+@q("x7_ner_spans", _x7_spans_oracle())
 def x7_ner_spans(spark, sf_dir):
-    """X7/X8 deterministic span extraction over documents (rows-only: the
-    chunk/offset-remap logic is exercised by pytest golden tests;
-    end-exclusive span contract per PREANNOTATION_SCHEMA.md:9-12)."""
+    """X7/X8 deterministic span extraction over documents, fully
+    oracle-gated including char offsets (end-exclusive span contract per
+    PREANNOTATION_SCHEMA.md:9-12); the chunk/offset-remap machinery is
+    additionally exercised by pytest on >CHUNK_SIZE texts."""
     from ..operators.ner import extract_spans
 
     return extract_spans(t(spark, sf_dir, "documents")).orderBy(

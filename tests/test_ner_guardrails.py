@@ -40,6 +40,33 @@ def test_chunk_offset_remap():
     assert text[start:end] == t == "IMO 1234567"
 
 
+def test_chunk_boundary_no_artifacts():
+    """A \\b manufactured by the chunk cut must not mint spans: an 8-digit
+    run straddling the cut is NOT a YEAR, and the chunked scan must equal a
+    single full-text scan for every pattern."""
+    import re
+
+    from deepseek_ocr_vllm_spark.operators.ner import PATTERNS
+
+    # place "20249999" so the first cut (CHUNK_SIZE) lands mid-run: the
+    # truncated head "2024" would match YEAR under the old behavior
+    head = "a " * ((CHUNK_SIZE - 4) // 2)
+    text = (head + "20249999 then 1999 and IMO 7654321 near the cut "
+            + "b " * CHUNK_SIZE)
+    assert len(text) > CHUNK_SIZE  # really chunks
+    rows = extract_spans_text(3, text)
+    for _, _, label, start, end, t, _, _ in rows:
+        assert text[start:end] == t
+        assert (t, label) != ("2024", "YEAR"), "cut-artifact span survived"
+    # chunked == one whole-text pass, per pattern
+    expect = set()
+    for label, pat, _c in PATTERNS:
+        for m in pat.finditer(text):
+            expect.add((m.start(), m.end(), label))
+    got = {(r[3], r[4], r[2]) for r in rows}
+    assert got == expect
+
+
 def test_extract_spans_spark(spark):
     df = spark.read.parquet(f"{SF}/documents.parquet")
     spans = extract_spans(df)
