@@ -119,6 +119,19 @@ def nfc(s: str) -> str:
     return unicodedata.normalize("NFC", s)
 
 
+def strip_accents(s: str) -> str:
+    """F5 accent strip (the reference's `unaccent` in
+    sql/vessels_lookup.sql:6-43): NFD-decompose, drop every combining mark
+    (category Mn), recompose. Total over arbitrary Unicode; identity on
+    ASCII (C-speed check)."""
+    if s.isascii():
+        return s
+    decomposed = unicodedata.normalize("NFD", s)
+    stripped = "".join(c for c in decomposed
+                       if unicodedata.category(c) != "Mn")
+    return unicodedata.normalize("NFC", stripped)
+
+
 def collapse_ws(s: str) -> str:
     if _WS_NEEDS_RE.search(s) is None:
         return s

@@ -104,6 +104,24 @@ def storage_key(prefix: Column, ts: Column, task_id: Column, name: Column) -> Co
     )
 
 
+# F5 accent strip, JVM-side (translate is codegen'd — no UDF). The table
+# covers Latin diacritics (what the reference's `unaccent` dictionary
+# effectively handles for vessel names); the general-Unicode NFD→drop-Mn
+# strip lives in extraction/spec.py:strip_accents for the Python batch path.
+_ACCENTED = ("àáâãäåāăąèéêëēĕėęěìíîïĩīĭįòóôõöøōŏőùúûüũūŭůçćĉċčñńņň"
+             "ÀÁÂÃÄÅĀĂĄÈÉÊËĒĔĖĘĚÌÍÎÏĨĪĬĮÒÓÔÕÖØŌŎŐÙÚÛÜŨŪŬŮÇĆĈĊČÑŃŅŇ"
+             "ýÿŷÝŸŶšśŠŚžźżŽŹŻ")
+_PLAIN = ("aaaaaaaaaeeeeeeeeeiiiiiiiiooooooooouuuuuuuucccccnnnn"
+          "AAAAAAAAAEEEEEEEEEIIIIIIIIOOOOOOOOOUUUUUUUUCCCCCNNNN"
+          "yyyYYYssSSzzzZZZ")
+assert len(_ACCENTED) == len(_PLAIN)
+
+
+def strip_accents_sql(col: Column) -> Column:
+    """F5 for SQL plans: fold Latin diacritics to ASCII via translate()."""
+    return F.translate(col, _ACCENTED, _PLAIN)
+
+
 def levenshtein_similarity(a: Column, b: Column) -> Column:
     """F17 (processor.go:426-482): 1 - dist/maxlen, lowercase compare."""
     la, lb = F.lower(a), F.lower(b)

@@ -729,3 +729,98 @@ def x7_ner_label_counts(spark, sf_dir):
         .agg(F.count("*").alias("n_spans"))
         .orderBy("doc_id", "label")
     )
+
+
+@q(
+    "t5_fuzzy_trigram_search",
+    """
+    WITH probes AS (
+      SELECT s_suppkey AS probe_key,
+             'Süpplìer# ' || substr(s_name, 10) AS probe_raw
+      FROM supplier WHERE s_suppkey % 7 = 3
+    ),
+    pn AS (SELECT probe_key, lower(strip_accents(probe_raw)) AS pname
+           FROM probes),
+    tn AS (SELECT s_suppkey, lower(s_name) AS tname FROM supplier),
+    pg AS (
+      SELECT probe_key, unnest(list_distinct(list_transform(
+               range(1, length(pname) - 1), i -> substr(pname, i, 3)))) AS g
+      FROM pn
+    ),
+    tg AS (
+      SELECT s_suppkey, unnest(list_distinct(list_transform(
+               range(1, length(tname) - 1), i -> substr(tname, i, 3)))) AS g
+      FROM tn
+    ),
+    psz AS (SELECT probe_key, COUNT(*) AS np FROM pg GROUP BY 1),
+    tsz AS (SELECT s_suppkey, COUNT(*) AS nt FROM tg GROUP BY 1),
+    inter AS (
+      SELECT probe_key, s_suppkey, COUNT(*) AS nc
+      FROM pg JOIN tg ON pg.g = tg.g GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT probe_key, s_suppkey,
+             CAST(nc AS DOUBLE) / (np + nt - nc) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_key
+                                ORDER BY CAST(nc AS DOUBLE) / (np + nt - nc)
+                                         DESC, s_suppkey) AS rk
+      FROM inter
+      JOIN psz USING (probe_key) JOIN tsz USING (s_suppkey)
+    )
+    SELECT probe_key, s_suppkey AS matched_suppkey, ROUND(sim, 6) AS sim
+    FROM scored WHERE rk = 1 ORDER BY probe_key
+    """,
+)
+def t5_fuzzy_trigram_search(spark, sf_dir):
+    """T5 fuzzy entity search (sql/vessels_lookup.sql:6-43: unaccent +
+    pg_trgm similarity): accent-stripped lowercase names → distinct char
+    trigrams → candidate pairs from a trigram EQUI-join (never an all-pairs
+    scan) → Jaccard score → best match per probe. Probes are deterministic
+    accented/typo'd supplier-name variants built identically in the oracle.
+    100-TB shape: the gram join shuffles on the gram hash and the tiny
+    probe side broadcasts; drop ultra-frequent grams upstream for skew."""
+    from ..functions.strings import strip_accents_sql
+
+    sup = t(spark, sf_dir, "supplier")
+    probes = sup.filter("s_suppkey % 7 = 3").select(
+        F.col("s_suppkey").alias("probe_key"),
+        F.concat(F.lit("Süpplìer# "), F.expr("substr(s_name, 10)"))
+        .alias("probe_raw"),
+    )
+    pn = probes.select(
+        "probe_key", F.lower(strip_accents_sql(F.col("probe_raw"))).alias("pname")
+    )
+    tn = sup.select("s_suppkey", F.lower("s_name").alias("tname"))
+
+    def grams(name_col: str):
+        return F.explode(F.expr(
+            f"array_distinct(transform(sequence(1, length({name_col}) - 2), "
+            f"i -> substring({name_col}, i, 3)))"
+        )).alias("g")
+
+    pg = pn.select("probe_key", grams("pname"))
+    tg = tn.select("s_suppkey", grams("tname"))
+    psz = pg.groupBy("probe_key").agg(F.count("*").alias("np"))
+    tsz = tg.groupBy("s_suppkey").agg(F.count("*").alias("nt"))
+    inter = (
+        F.broadcast(pg).join(tg, "g")
+        .groupBy("probe_key", "s_suppkey")
+        .agg(F.count("*").alias("nc"))
+    )
+    sim = F.col("nc").cast("double") / (F.col("np") + F.col("nt") - F.col("nc"))
+    scored = (
+        inter.join(F.broadcast(psz), "probe_key")
+        .join(tsz, "s_suppkey")
+        .withColumn("sim_raw", sim)
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy("probe_key").orderBy(F.desc("sim_raw"), "s_suppkey")))
+    )
+    return (
+        scored.filter("rk = 1")
+        .select(
+            "probe_key",
+            F.col("s_suppkey").alias("matched_suppkey"),
+            F.round("sim_raw", 6).alias("sim"),
+        )
+        .orderBy("probe_key")
+    )

@@ -63,3 +63,25 @@ def test_idempotent_append(spark, tmp_path):
     idempotent_append(spark, df2, path, keys=["id"])
     got = {r.id: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: "x", 2: "y", 3: "z"}  # id=2 not overwritten
+
+
+def test_strip_accents_python_and_sql_agree(spark):
+    """F5: the NFD→drop-Mn Python strip and the SQL translate table agree
+    on the table's domain (except ø/Ø, which have no NFD decomposition —
+    the table handles them like `unaccent` does, the Python path leaves
+    them) and both are identity on ASCII."""
+    from deepseek_ocr_vllm_spark.extraction.spec import strip_accents
+    from deepseek_ocr_vllm_spark.functions.strings import (
+        _ACCENTED, _PLAIN, strip_accents_sql)
+    import pyspark.sql.functions as F
+
+    assert strip_accents("café naïve Müller") == "cafe naive Muller"
+    assert strip_accents("plain ASCII!") == "plain ASCII!"
+    for a, p in zip(_ACCENTED, _PLAIN):
+        if a in "øØ":
+            assert strip_accents(a) == a  # no combining mark to drop
+        else:
+            assert strip_accents(a) == p
+    df = spark.createDataFrame([("Süpplìer# café øre",)], ["s"])
+    got = df.select(strip_accents_sql(F.col("s")).alias("o")).first().o
+    assert got == "Supplier# cafe ore"
