@@ -4,7 +4,7 @@ Plan shape, designed for 10^12 turns on a 1000-executor cluster:
 
   scan transcripts (parquet/Iceberg; column-pruned: the UDF only needs the
       six input columns, Catalyst prunes the rest)
-  → bucket_id = pmod(xxhash64(conv_id, turn_idx div S), n_buckets)
+  → bucket_id = pmod(hash(conv_id, turn_idx div S), n_buckets)
       [deterministic salted bucketing: the slice term spreads a 5M-turn
        conversation across buckets instead of pinning one core — the
        reference's hash(path)%n endpoint-salting idiom, job.py:144-148]
@@ -12,9 +12,10 @@ Plan shape, designed for 10^12 turns on a 1000-executor cluster:
   → mapInArrow extract (one Python call per Arrow batch, on scan
       partitions — measured ~35% faster than extracting after the
       shuffle; see build_extract_plan for the A/B)
-  → repartition(n_buckets, bucket_id)
+  → repartition(n_buckets, conv_id, slice_id)
       .sortWithinPartitions(conv_id, turn_idx)            [stable turn order;
-      task == bucket == output dir == lineage row]
+      partition index == bucket_id exactly (murmur3 identity, _with_bucket)
+      → task == bucket == output dir == lineage row]
   → write partitionBy(bucket_id), dynamic overwrite       [per-bucket atomic,
       idempotent re-run]
   → append per-bucket lineage+metrics rows to checkpoint  [A11 audit pattern,
@@ -31,6 +32,7 @@ import json
 import time
 from contextlib import contextmanager
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -110,17 +112,24 @@ def _write_meta(spark: SparkSession, output_dir: str, meta: dict) -> None:
 
 def _with_bucket(df: DataFrame, n_buckets: int,
                  turns_per_slice: int = TURNS_PER_SLICE) -> DataFrame:
-    """Salted bucket assignment: bucket = hash(conv_id, turn_idx div S).
+    """Salted bucket assignment: bucket = pmod(hash(conv_id, slice_id), n).
 
     The slice term is the skew salt — a pathologically long conversation
     spreads across buckets at slice granularity instead of pinning one task
     (the reference's hash(path)%n distribution idiom, job.py:144-148).
-    Buckets are the unit of lineage/resume AND of the physical repartition,
-    so every task writes exactly its own partition directory."""
+
+    INVARIANT (CLAUDE.md): F.hash IS Spark's murmur3 with the same seed
+    HashPartitioning uses, so bucket_id == pmod(murmur3(conv_id, slice_id),
+    n) == the reduce partition index when build_extract_plan repartitions
+    by (conv_id, __slice_id). Every write task therefore carries exactly
+    ONE bucket (task == bucket == output dir == lineage row) — repartition
+    by the bucket_id COLUMN would re-hash it (pmod(murmur3(bucket_id), n))
+    and leave ~1/e of write tasks empty while others carry 2+ buckets."""
     slice_id = (F.col("turn_idx") / F.lit(turns_per_slice)).cast("int")
-    return df.withColumn(
+    return df.withColumn("__slice_id", slice_id).withColumn(
         "bucket_id",
-        F.pmod(F.xxhash64("conv_id", slice_id), F.lit(n_buckets)).cast("int"),
+        F.pmod(F.hash("conv_id", F.col("__slice_id")), F.lit(n_buckets))
+        .cast("int"),
     )
 
 
@@ -143,9 +152,71 @@ def build_extract_plan(df: DataFrame, n_buckets: int) -> DataFrame:
     finishes) costs less than it saves — both stages keep all cores busy.
     """
     out = extract_map_in_arrow(df, text_col="text").drop("text")
-    return out.repartition(n_buckets, "bucket_id").sortWithinPartitions(
-        "conv_id", "turn_idx"
+    return (
+        # repartition on the KEY COLUMNS, not the bucket_id column: Spark
+        # hash-partitioning is pmod(murmur3(cols), n), which equals
+        # bucket_id exactly (see _with_bucket) — task == bucket == dir
+        out.repartition(n_buckets, "conv_id", "__slice_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .drop("__slice_id")
     )
+
+
+class _PartitionMetricsParam(AccumulatorParam):
+    """Accumulator merging {partition_id: {bucket_id: [n, nodes, spans,
+    bytes]}}. Keyed by partition id with OVERWRITE merge semantics: a
+    retried/speculated task re-sends the identical deterministic entry, so
+    the transformation-level exactly-once gap accumulators normally have
+    does not corrupt the sums."""
+
+    def zero(self, value):  # noqa: ARG002
+        return {}
+
+    def addInPlace(self, a, b):
+        a.update(b)
+        return a
+
+
+def _tap_bucket_metrics(df: DataFrame, acc) -> DataFrame:
+    """Pass-through mapInArrow AFTER the bucket repartition that streams
+    batches unchanged while summing per-bucket lineage metrics into an
+    accumulator. Because the exchange makes task == bucket, the driver-side
+    dict is O(n_buckets) — per-bucket metrics ride the WRITE action itself,
+    with one read of the input and ZERO reads of the output.
+
+    NOT the default: the pass-through sends 100% of output bytes on a
+    second JVM→Python→JVM Arrow round trip, and alternating same-session
+    A/B at 200k turns / local[32] measured it SLOWER than re-scanning the
+    four pruned metric columns in 3 of 4 pairs — (13.7 vs 4.8), (4.5 vs
+    5.5), (9.7 vs 9.2), (18.8 vs 7.6) s extract_write — worst exactly when
+    the shared memory bus is congested. Kept as metrics_mode='inline' for
+    deployments where re-reading the sink is the worse trade (object-store
+    egress cost, cold storage)."""
+    schema = df.schema
+
+    def tap(batches):
+        import pyarrow.compute as pc
+        from pyspark import TaskContext
+
+        totals: dict[int, list[int]] = {}
+        for batch in batches:
+            bids = batch.column("bucket_id")
+            uniq = pc.unique(bids).to_pylist()
+            if len(uniq) == 1:  # task == bucket: the designed common case
+                parts = [(uniq[0], batch)]
+            else:
+                parts = [(u, batch.filter(pc.equal(bids, u))) for u in uniq]
+            for bkt, sel in parts:
+                t = totals.setdefault(int(bkt), [0, 0, 0, 0])
+                t[0] += sel.num_rows
+                t[1] += pc.sum(sel.column("n_nodes")).as_py() or 0
+                t[2] += pc.sum(sel.column("n_spans")).as_py() or 0
+                t[3] += pc.sum(sel.column("n_bytes")).as_py() or 0
+            yield batch
+        if totals:
+            acc.add({TaskContext.get().partitionId(): totals})
+
+    return df.mapInArrow(tap, schema)
 
 
 def completed_buckets(spark: SparkSession, output_dir: str) -> DataFrame | None:
@@ -163,6 +234,7 @@ def run_extraction(
     run_id: int = 1,
     max_buckets: int | None = None,
     turns_per_slice: int = TURNS_PER_SLICE,
+    metrics_mode: str = "rescan",
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict.
 
@@ -174,6 +246,12 @@ def run_extraction(
 
     ``max_buckets`` processes only the first K pending buckets — used by
     tests to simulate a killed run, and operationally to drain in waves.
+
+    ``metrics_mode``: how per-bucket lineage metrics are computed.
+    'rescan' (default, A/B-measured faster — see _tap_bucket_metrics)
+    re-reads ONLY the four pruned metric columns of what was just written;
+    'inline' accumulates them during the write itself (zero output reads,
+    one extra Arrow round trip of all output bytes).
     """
     t0 = time.time()
     # validate the input FIRST (input_bytes raises on a missing path) so a
@@ -205,7 +283,8 @@ def run_extraction(
 
     with _scan_split_override(spark, in_bytes):
         return _run_pending(spark, input_path, output_dir, n_buckets,
-                            run_id, max_buckets, turns_per_slice, t0)
+                            run_id, max_buckets, turns_per_slice, t0,
+                            metrics_mode)
 
 
 @contextmanager
@@ -230,7 +309,8 @@ def _scan_split_override(spark: SparkSession, in_bytes: int):
 
 
 def _run_pending(spark, input_path, output_dir, n_buckets, run_id,
-                 max_buckets, turns_per_slice, t0) -> dict:
+                 max_buckets, turns_per_slice, t0,
+                 metrics_mode: str = "rescan") -> dict:
     src = spark.read.parquet(input_path).select(*INPUT_COLS)
     df = _with_bucket(src, n_buckets, turns_per_slice)
 
@@ -253,23 +333,40 @@ def _run_pending(spark, input_path, output_dir, n_buckets, run_id,
         df = df.filter(F.col("bucket_id").isin(pending))
 
     out = build_extract_plan(df, n_buckets)
+    acc = None
+    if metrics_mode == "inline":
+        acc = spark.sparkContext.accumulator({}, _PartitionMetricsParam())
+        out = _tap_bucket_metrics(out, acc)
     tableio.write_partitioned(out, turns_path(output_dir), ["bucket_id"])
     t_write = time.time()
 
-    # lineage + metrics from what actually landed (write-then-commit:
-    # a crash before this append leaves the bucket pending → re-run
-    # overwrites the same partition, so the sink stays idempotent)
-    written = spark.read.parquet(turns_path(output_dir))
-    if done is not None:
-        written = written.join(F.broadcast(done), "bucket_id", "left_anti")
-    if max_buckets is not None:
-        written = written.filter(F.col("bucket_id").isin(pending))
-    metric_rows = written.groupBy("bucket_id").agg(
-        F.count("*").alias("n_turns"),
-        F.sum("n_nodes").alias("nodes_classified"),
-        F.sum("n_spans").alias("spans_emitted"),
-        F.sum("n_bytes").alias("bytes_processed"),
-    ).collect()  # ≤ n_buckets rows — one scan (column-pruned), not two
+    # write-then-commit: a crash before the checkpoint append leaves the
+    # bucket pending, and the re-run overwrites the same partition — the
+    # sink stays idempotent under either metrics mode
+    merged: dict[int, list[int]] = {}
+    if acc is not None:
+        # metrics rode the write itself (pass-through tap)
+        for per_bucket in acc.value.values():
+            for bkt, sums in per_bucket.items():
+                m = merged.setdefault(bkt, [0, 0, 0, 0])
+                for i in range(4):
+                    m[i] += sums[i]
+    else:
+        # re-scan ONLY the four metric columns of what landed (parquet
+        # column pruning: a ~1-3%-of-bytes read; A/B-measured cheaper
+        # than the inline tap on this box — see _tap_bucket_metrics)
+        written = spark.read.parquet(turns_path(output_dir))
+        if done is not None:
+            written = written.join(F.broadcast(done), "bucket_id", "left_anti")
+        if max_buckets is not None:
+            written = written.filter(F.col("bucket_id").isin(pending))
+        for r in written.groupBy("bucket_id").agg(
+            F.count("*").alias("n"),
+            F.sum("n_nodes").alias("nodes"),
+            F.sum("n_spans").alias("spans"),
+            F.sum("n_bytes").alias("nbytes"),
+        ).collect():  # ≤ n_buckets rows
+            merged[r.bucket_id] = [r.n, r.nodes, r.spans, r.nbytes]
     t_metrics = time.time()
 
     ckpt = tableio.read_or_none(spark, checkpoint_path(output_dir))
@@ -277,11 +374,13 @@ def _run_pending(spark, input_path, output_dir, n_buckets, run_id,
         {r.bucket_id for r in ckpt.select("bucket_id").distinct().collect()}
         if ckpt is not None else set()
     )
-    fresh = [r for r in metric_rows if r.bucket_id not in already]
+    fresh = sorted(
+        (bkt, s) for bkt, s in merged.items() if bkt not in already
+    )
     if fresh:
         spark.createDataFrame(
-            [(run_id, r.bucket_id, r.n_turns, r.nodes_classified,
-              r.spans_emitted, r.bytes_processed, "done") for r in fresh],
+            [(run_id, bkt, s[0], s[1], s[2], s[3], "done")
+             for bkt, s in fresh],
             "run_id long, bucket_id int, n_turns long, nodes_classified long, "
             "spans_emitted long, bytes_processed long, status string",
         ).withColumn("committed_at", F.current_timestamp()) \
@@ -289,11 +388,12 @@ def _run_pending(spark, input_path, output_dir, n_buckets, run_id,
     return {
         "buckets_done": len(fresh),
         "n_buckets": n_buckets,
-        "turns": sum(r.n_turns for r in fresh),
+        "turns": sum(s[0] for _bkt, s in fresh),
         "elapsed_sec": round(time.time() - t0, 3),
-        # phase breakdown: scan→shuffle→extract→write vs the two bookkeeping
-        # actions (metrics re-scan, checkpoint append) — the latter are fixed
-        # costs that cap measurable single-node scaling
+        # phase breakdown: scan→extract→shuffle→write, then the metrics
+        # step (pruned re-scan, or ~0 when they rode the write inline) and
+        # the checkpoint append — bookkeeping fixed costs that cap
+        # measurable single-node scaling
         "extract_write_sec": round(t_write - t0, 3),
         "metrics_sec": round(t_metrics - t_write, 3),
         "checkpoint_sec": round(time.time() - t_metrics, 3),

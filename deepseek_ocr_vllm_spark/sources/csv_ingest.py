@@ -19,6 +19,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.strings import dedupe_canon_names
+from .tableio import hadoop_fs
+
+
+def _assert_single_file(spark: SparkSession, path: str) -> None:
+    """Header discovery below relies on limit(1) returning THE first
+    physical line, which only holds for a single file — a directory/glob
+    would silently elect whichever file lands in partition 0 as 'the
+    header'. Fail loudly instead (parse per-file with input_file_name()
+    if multi-file registry drops ever become real)."""
+    fs, p = hadoop_fs(spark, path)
+    matches = fs.globStatus(p)
+    if matches is None:
+        return  # let spark.read.text raise its own missing-path error
+    files = []
+    for st in matches:
+        if st.isDirectory():
+            for sub in fs.listStatus(st.getPath()):
+                name = sub.getPath().getName()
+                if sub.isFile() and not name.startswith(("_", ".")):
+                    files.append(name)
+        else:
+            files.append(st.getPath().getName())
+    if len(files) != 1:
+        raise ValueError(
+            f"read_registry_csv needs exactly one CSV file, got "
+            f"{len(files)} under {path!r}: {sorted(files)[:5]}"
+        )
 
 
 def _repair_lines(lines: DataFrame, col: str = "value") -> DataFrame:
@@ -39,7 +66,9 @@ def read_registry_csv(
     repair: bool = True,
 ) -> DataFrame:
     """Parse a registry CSV: header row canonicalized (F1), short rows
-    padded with '' (parser.go:74-78), values trimmed of leading space."""
+    padded with '' (parser.go:74-78), values trimmed of leading space.
+    Single-file inputs only (asserted) — see _assert_single_file."""
+    _assert_single_file(spark, path)
     lines = spark.read.text(path)
     if repair:
         lines = _repair_lines(lines)

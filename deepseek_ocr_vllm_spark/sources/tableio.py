@@ -31,8 +31,19 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) via the Hadoop FS API — works for local paths AND
+    for hdfs://-s3a:// URIs on a cluster (os.path.exists would silently
+    treat 's3a://…' as a weird local directory and report False, making
+    every checkpoint invisible on resume)."""
+    jvm = spark._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath  # noqa: SLF001
+
+
 def read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    if not os.path.exists(path):
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
         return None
     try:
         return spark.read.parquet(path)
@@ -91,12 +102,27 @@ def upsert_with_history(
     Parquet emulation of Iceberg MERGE INTO: read current, classify rows
     into insert / changed / unchanged via a keyed join, rewrite the
     snapshot, append history rows for changes.
+
+    LOCAL-PATH emulation only (commit = directory rename): on a cluster
+    the real path is Iceberg MERGE INTO, whose snapshot commit is atomic —
+    URI paths are rejected loudly rather than mis-handled. History is
+    appended BEFORE the snapshot commit, so a crash in between can leave a
+    history row whose change never committed (at-least-once, like the
+    reference's outbox); the snapshot itself is never lost (_swap).
     """
+    if "://" in path:
+        raise NotImplementedError(
+            "upsert_with_history's parquet emulation commits via local "
+            "directory rename; use the Iceberg MERGE INTO path for "
+            f"remote storage (got {path!r})"
+        )
+    _recover_swap(path)
     current = read_or_none(spark, path)
     if current is None:
         new_df.write.mode("overwrite").parquet(path + "_v2")
+        n_new = new_df.count()
         _swap(path)
-        return {"inserted": new_df.count(), "updated": 0, "unchanged": 0}
+        return {"inserted": n_new, "updated": 0, "unchanged": 0}
 
     cur = current.select(*(keys + compare_cols)).withColumn("__exists", F.lit(True))
     joined = new_df.alias("n").join(cur.alias("c"), keys, "left")
@@ -123,23 +149,60 @@ def upsert_with_history(
             F.current_timestamp().alias("changed_at"),
         )
     )
-    n_changed = changed.count()
-    n_insert = joined.filter(is_insert).count()
+    # all three counts from ONE aggregation (the join used to re-execute
+    # once per count() — three times)
+    stats = joined.agg(
+        F.sum(F.when(is_insert, 1).otherwise(0)).alias("n_insert"),
+        F.sum(F.when(any_diff & ~is_insert, 1).otherwise(0)).alias("n_changed"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).collect()[0]
+    n_insert = int(stats.n_insert or 0)
+    n_changed = int(stats.n_changed or 0)
     if history_path and n_changed:
         changed.write.mode("append").parquet(history_path)
     _swap(path)
     return {
         "inserted": n_insert,
         "updated": n_changed,
-        "unchanged": new_df.count() - n_changed - n_insert,
+        "unchanged": int(stats.n_total) - n_changed - n_insert,
     }
 
 
-def _swap(path: str) -> None:
-    """Atomic-ish snapshot swap (the Parquet stand-in for an Iceberg
-    snapshot commit)."""
+def _recover_swap(path: str) -> None:
+    """Heal a crash inside _swap before touching the table. States:
+      * ``path`` present + leftovers → a swap finished but cleanup didn't:
+        drop the leftovers.
+      * ``path`` missing + ``path_old`` present → crashed between
+        rename-away and rename-in: restore the prior snapshot and discard
+        the never-committed ``path_v2`` (commit == rename-in)."""
     import shutil
 
+    old, v2 = path + "_old", path + "_v2"
     if os.path.exists(path):
-        shutil.rmtree(path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(v2):
+            shutil.rmtree(v2)
+    elif os.path.exists(old):
+        os.rename(old, path)
+        if os.path.exists(v2):
+            shutil.rmtree(v2)
+
+
+def _swap(path: str) -> None:
+    """Snapshot swap with a single-rename no-snapshot window: rename the
+    current snapshot AWAY (not rmtree — the data survives any crash),
+    rename the new snapshot IN (the commit point), then delete the old.
+    A crash at any step is healed by _recover_swap at the next upsert's
+    entry (NOT here — by _swap time ``path_v2`` holds the fresh snapshot
+    and must not be discarded)."""
+    import shutil
+
+    old = path + "_old"
+    if os.path.exists(old) and os.path.exists(path):
+        shutil.rmtree(old)  # window-B leftover; ``path`` is committed
+    if os.path.exists(path):
+        os.rename(path, old)
     os.rename(path + "_v2", path)
+    if os.path.exists(old):
+        shutil.rmtree(old)

@@ -127,6 +127,68 @@ def test_upsert_with_history(spark, tmp_path):
     assert "AURORA" in h[0].old_values and "AURORA II" in h[0].new_values
 
 
+def test_upsert_swap_crash_recovery(spark, tmp_path):
+    """Kill-between-steps: a crash inside _swap must never lose the current
+    snapshot. Window A = between rename-away and rename-in (path missing,
+    path_old + path_v2 on disk): the prior snapshot is restored and the
+    uncommitted v2 discarded. Window B = before old-cleanup (path + path_old
+    on disk): the committed snapshot wins, leftovers dropped."""
+    import os
+    import shutil
+
+    from deepseek_ocr_vllm_spark.sources.tableio import upsert_with_history
+
+    path = str(tmp_path / "t")
+    hist = str(tmp_path / "h")
+    v1 = spark.createDataFrame([(1, "A"), (2, "B")], ["id", "name"])
+    upsert_with_history(spark, v1, path, ["id"], ["name"], hist)
+
+    # --- window A: rename-away happened, rename-in didn't
+    os.rename(path, path + "_old")
+    os.makedirs(path + "_v2")
+    (tmp_path / "t_v2" / "junk.parquet").write_bytes(b"not a snapshot")
+    v2 = spark.createDataFrame([(1, "A2"), (3, "C")], ["id", "name"])
+    s = upsert_with_history(spark, v2, path, ["id"], ["name"], hist)
+    # prior snapshot was recovered, so id=1 is an UPDATE, not an insert
+    assert s == {"inserted": 1, "updated": 1, "unchanged": 0}
+    cur = {r.id: r.name for r in spark.read.parquet(path).collect()}
+    assert cur == {1: "A2", 2: "B", 3: "C"}
+    assert not os.path.exists(path + "_old") and not os.path.exists(path + "_v2")
+
+    # --- window B: commit happened, old-cleanup didn't
+    shutil.copytree(path, path + "_old")
+    v3 = spark.createDataFrame([(2, "B3")], ["id", "name"])
+    s3 = upsert_with_history(spark, v3, path, ["id"], ["name"], hist)
+    assert s3 == {"inserted": 0, "updated": 1, "unchanged": 0}
+    cur = {r.id: r.name for r in spark.read.parquet(path).collect()}
+    assert cur == {1: "A2", 2: "B3", 3: "C"}
+    assert not os.path.exists(path + "_old")
+
+    # a URI path is rejected loudly, not silently mis-handled
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        upsert_with_history(spark, v3, "s3a://bucket/t", ["id"], ["name"])
+
+
+def test_registry_csv_rejects_multi_file(spark, tmp_path):
+    """ADVICE: header discovery assumes one physical file — a directory of
+    CSVs must fail loudly instead of electing an arbitrary header."""
+    import pytest as _pytest
+
+    from deepseek_ocr_vllm_spark.sources.csv_ingest import read_registry_csv
+
+    d = tmp_path / "multi"
+    d.mkdir()
+    (d / "a.csv").write_text("IMO,NAME\n1,x\n")
+    (d / "b.csv").write_text("IMO,NAME\n2,y\n")
+    with _pytest.raises(ValueError, match="exactly one CSV file"):
+        read_registry_csv(spark, str(d))
+    # single file still parses
+    got = read_registry_csv(spark, str(d / "a.csv")).collect()
+    assert len(got) == 1 and got[0].IMO == "1"
+
+
 def test_storage_key_and_string_functions(spark):
     from deepseek_ocr_vllm_spark.functions import strings as S
 

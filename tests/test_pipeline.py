@@ -145,3 +145,42 @@ def test_bucket_assignment_is_deterministic(spark, transcripts_path, extracted):
     )
     assert long_convs.filter("nb < 2").count() < long_convs.count() or \
         long_convs.count() == 0
+
+
+def test_task_equals_bucket_identity(spark, transcripts_path):
+    """CLAUDE.md invariant: the reduce partition index equals bucket_id for
+    every row — bucket_id = pmod(F.hash(conv_id, slice_id), n) and the
+    repartition is on the same (conv_id, slice_id) key columns, and Spark
+    hash partitioning is pmod(murmur3(cols), n) with the same murmur3.
+    Guarantees every write task carries exactly one bucket (no empty tasks,
+    no 2-bucket tasks from re-hashing the bucket_id column)."""
+    import pyspark.sql.functions as F
+
+    n = 8
+    src = spark.read.parquet(transcripts_path).select(*pipeline.INPUT_COLS)
+    out = pipeline.build_extract_plan(pipeline._with_bucket(src, n), n)
+    pairs = (
+        out.select(F.spark_partition_id().alias("pid"), "bucket_id")
+        .distinct()
+        .collect()
+    )
+    assert pairs and all(r.pid == r.bucket_id for r in pairs)
+    # and every bucket present maps to exactly one task
+    assert len({r.bucket_id for r in pairs}) == len(pairs)
+
+
+def test_inline_metrics_mode_matches_rescan(spark, transcripts_path, tmp_path_factory):
+    """metrics_mode='inline' (accumulator tap riding the write) must
+    checkpoint byte-identical per-bucket metrics to the default re-scan."""
+    out_a = str(tmp_path_factory.mktemp("mm") / "rescan")
+    out_b = str(tmp_path_factory.mktemp("mm") / "inline")
+    pipeline.run_extraction(spark, transcripts_path, out_a, n_buckets=8)
+    pipeline.run_extraction(spark, transcripts_path, out_b, n_buckets=8,
+                            metrics_mode="inline")
+    cols = ["bucket_id", "n_turns", "nodes_classified", "spans_emitted",
+            "bytes_processed"]
+    a = sorted(tuple(r) for r in spark.read.parquet(
+        pipeline.checkpoint_path(out_a)).select(*cols).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(
+        pipeline.checkpoint_path(out_b)).select(*cols).collect())
+    assert a == b and len(a) > 0
