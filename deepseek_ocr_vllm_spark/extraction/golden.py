@@ -146,7 +146,9 @@ def _assemble_html(
     return "\n".join(parts), spans
 
 
-def _extract_pdf(text: str) -> tuple[str, list[tuple[int, int, str]], int]:
+def _extract_pdf(
+    text: str,
+) -> tuple[str, list[tuple[int, int, str]], int, list[tuple], list[list[list[str]]]]:
     recs: list[tuple[float, float, float, str, str]] = []
     for line in text.split("\n"):
         m = spec.PDF_LINE_RE.match(line)
@@ -157,6 +159,12 @@ def _extract_pdf(text: str) -> tuple[str, list[tuple[int, int, str]], int]:
             )
     n_nodes = len(recs)
     order = sorted(range(len(recs)), key=lambda i: (recs[i][1], recs[i][0], i))
+
+    # X2 word boxes: every word of every line record, reading order
+    words: list[tuple] = []
+    for idx in order:
+        x, y, size, _font, txt = recs[idx]
+        words.extend(spec.pdf_word_boxes(x, y, size, txt))
 
     blocks: list[list[int]] = []
     for idx in order:
@@ -174,6 +182,7 @@ def _extract_pdf(text: str) -> tuple[str, list[tuple[int, int, str]], int]:
     median = spec.pdf_median_size([r[2] for r in recs])
     parts: list[str] = []
     spans: list[tuple[int, int, str]] = []
+    tables: list[list[list[str]]] = []
     off = 0
     for blk in blocks:
         texts = [recs[i][4] for i in blk]
@@ -182,6 +191,7 @@ def _extract_pdf(text: str) -> tuple[str, list[tuple[int, int, str]], int]:
         is_table = sum(1 for t in texts if "|" in t) >= 2
         if is_table:
             label, btxt = "table", spec.TABLE_MARKER
+            tables.append(spec.pdf_table_cells(texts))  # X3 cell grid
         elif median > 0 and max(sizes) >= spec.PDF_HEADING_FACTOR * median:
             label, btxt = "heading", spec.merge_pdf_lines(texts)
         elif any("Mono" in f for f in fonts):
@@ -195,7 +205,7 @@ def _extract_pdf(text: str) -> tuple[str, list[tuple[int, int, str]], int]:
         parts.append(btxt)
         spans.append((off, off + len(btxt), label))
         off += len(btxt)
-    return "\n".join(parts), spans, n_nodes
+    return "\n".join(parts), spans, n_nodes, words, tables
 
 
 def _extract_plain(text: str) -> tuple[str, list[tuple[int, int, str]], int]:
@@ -221,16 +231,26 @@ def extract_turn(text: str | None) -> dict:
     n_bytes = len(raw.encode("utf-8"))
     kind = spec.detect_kind(raw)
     t = spec.nfc(raw)
+    words: list[tuple] = []
+    tables: list[list[list[str]]] = []
     if kind == "html":
         segments, n_nodes = _extract_html(t)
         clean, spans = _assemble_html(segments)
     elif kind == "pdf":
-        clean, spans, n_nodes = _extract_pdf(t)
+        clean, spans, n_nodes, words, tables = _extract_pdf(t)
     else:
         clean, spans, n_nodes = _extract_plain(t)
     return {
         "clean_text": clean,
         "spans": [{"start": s, "end": e, "label": lb} for s, e, lb in spans],
+        # X2 word layout boxes (PDF only; [] otherwise) — reference contract
+        # scripts/pdf_extract.py:58-73
+        "words": [
+            {"text": w, "x0": x0, "y0": y0, "x1": x1, "y1": y1}
+            for w, x0, y0, x1, y1 in words
+        ],
+        # X3 table cell grids (PDF only) — scripts/pdf_extract.py:74-81
+        "tables": tables,
         "n_nodes": n_nodes,
         "n_spans": len(spans),
         "n_bytes": n_bytes,

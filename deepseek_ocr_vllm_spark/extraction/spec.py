@@ -62,6 +62,7 @@ PDF_Y_GAP_FACTOR = 1.8  # new block when vertical gap > factor * prev line size
 PDF_X_JUMP = 50.0  # new block when x shifts by more than this (column break)
 PDF_HEADING_FACTOR = 1.5  # block is heading when size >= factor * median size
 TABLE_MARKER = "[TABLE]"
+PDF_CHAR_ADVANCE = 0.6  # fixed-advance glyph model: advance ≈ 0.6 × size
 
 # ------------------------------------------------------------ plain-text spec
 
@@ -176,6 +177,33 @@ def keep_segment(n_chars: int, link_chars: int, label: str, in_content: bool) ->
     if label == "heading":
         return link_density <= MAX_LINK_DENSITY
     return n_chars >= MIN_BLOCK_CHARS and link_density <= MAX_LINK_DENSITY
+
+
+def pdf_word_boxes(x: float, y: float, size: float, content: str) -> list[tuple]:
+    """X2 word-level layout boxes for one line record under a fixed-advance
+    glyph model (advance = PDF_CHAR_ADVANCE × size): a word starting at
+    char offset c spans x0 = x + c·adv … x1 = x0 + len(word)·adv over the
+    line's [y, y + size) vertical extent. The geometry MODEL is synthetic —
+    the text-encoded records carry line origins, not per-glyph metrics —
+    but the output contract (text, x0, y0, x1, y1 in reading order) is the
+    reference's pdfplumber word list (scripts/pdf_extract.py:58-73); a real
+    PDF parser would supply real advances."""
+    adv = PDF_CHAR_ADVANCE * (size if size > 0 else 1.0)
+    out: list[tuple] = []
+    pos = 0
+    for w in content.split():
+        c = content.index(w, pos)
+        pos = c + len(w)
+        x0 = x + c * adv
+        out.append((w, x0, y, x0 + len(w) * adv, y + size))
+    return out
+
+
+def pdf_table_cells(texts: list[str]) -> list[list[str]]:
+    """X3 cell grid for one table block: each '|'-bearing line is a row,
+    cells split on '|' and stripped (the reference emits tables as
+    row-lists of cell strings, scripts/pdf_extract.py:74-81)."""
+    return [[c.strip() for c in t.split("|")] for t in texts if "|" in t]
 
 
 def pdf_median_size(sizes: list[float]) -> float:

@@ -191,9 +191,10 @@ def _tokenize_html(text: str, seg_text: list, seg_link: list, seg_label: list,
 _PDF_DT = np.dtype([("x", "f8"), ("y", "f8"), ("size", "f8")])
 
 
-def _extract_pdf_rows(texts: list[str]) -> list[tuple[str, list, int]]:
+def _extract_pdf_rows(texts: list[str]) -> list[tuple[str, list, int, list, list]]:
     """PDF-layout rows: parse line records, numpy reading-order + block
-    segmentation (vectorized gap/column-break tests), per-block merge.
+    segmentation (vectorized gap/column-break tests), per-block merge,
+    X2 word boxes (reading order), X3 table cell grids.
     """
     out = []
     line_match = spec.PDF_LINE_RE.match
@@ -205,7 +206,7 @@ def _extract_pdf_rows(texts: list[str]) -> list[tuple[str, list, int]]:
                 recs.append(m.groups())  # one call for all 5 groups
         n = len(recs)
         if n == 0:
-            out.append(("", [], 0))
+            out.append(("", [], 0, [], []))
             continue
         fonts = [r[3] for r in recs]
         contents = [r[4] for r in recs]
@@ -214,6 +215,12 @@ def _extract_pdf_rows(texts: list[str]) -> list[tuple[str, list, int]]:
         sz = np.array([r[2] for r in recs], dtype=np.float64)
         order = np.lexsort((np.arange(n), x, y))  # stable (y, x, idx)
         xo, yo, so = x[order], y[order], sz[order]
+        words: list[tuple] = []
+        for k in range(n):
+            i = order[k]
+            words.extend(
+                spec.pdf_word_boxes(x[i], y[i], sz[i], contents[i])
+            )
         prev_sz = np.where(so[:-1] > 0, so[:-1], 1.0)
         brk = ((yo[1:] - yo[:-1]) > spec.PDF_Y_GAP_FACTOR * prev_sz) | (
             np.abs(xo[1:] - xo[:-1]) > spec.PDF_X_JUMP
@@ -226,6 +233,7 @@ def _extract_pdf_rows(texts: list[str]) -> list[tuple[str, list, int]]:
 
         parts: list[str] = []
         spans: list[tuple[int, int, str]] = []
+        tables: list[list[list[str]]] = []
         off = 0
         for b in range(len(bounds) - 1):
             sl = slice(bounds[b], bounds[b + 1])
@@ -234,6 +242,7 @@ def _extract_pdf_rows(texts: list[str]) -> list[tuple[str, list, int]]:
             n_pipe = sum(1 for t in btexts if "|" in t)
             if n_pipe >= 2:
                 label, btxt = "table", spec.TABLE_MARKER
+                tables.append(spec.pdf_table_cells(btexts))
             else:
                 btxt = spec.merge_pdf_lines(btexts)
                 if median > 0 and float(so[sl].max()) >= heading_cut:
@@ -249,7 +258,7 @@ def _extract_pdf_rows(texts: list[str]) -> list[tuple[str, list, int]]:
             parts.append(btxt)
             spans.append((off, off + len(btxt), label))
             off += len(btxt)
-        out.append(("\n".join(parts), spans, n))
+        out.append(("\n".join(parts), spans, n, words, tables))
     return out
 
 
@@ -269,6 +278,8 @@ def extract_batch(texts) -> dict:
     clean = [""] * n_rows
     spans: list[list] = [[] for _ in range(n_rows)]
     n_nodes = [0] * n_rows
+    words: list[list] = [[] for _ in range(n_rows)]  # X2 (PDF rows only)
+    tables: list[list] = [[] for _ in range(n_rows)]  # X3 (PDF rows only)
 
     # ---- HTML rows: flat segment arrays + numpy keep mask
     html_rows = [i for i in range(n_rows) if kinds[i] == "html"]
@@ -310,8 +321,11 @@ def extract_batch(texts) -> dict:
     # ---- PDF rows
     pdf_rows = [i for i in range(n_rows) if kinds[i] == "pdf"]
     if pdf_rows:
-        for i, (ctext, sp, nn) in zip(pdf_rows, _extract_pdf_rows([norm[i] for i in pdf_rows])):
+        for i, (ctext, sp, nn, wd, tb) in zip(
+            pdf_rows, _extract_pdf_rows([norm[i] for i in pdf_rows])
+        ):
             clean[i], spans[i], n_nodes[i] = ctext, sp, nn
+            words[i], tables[i] = wd, tb
 
     # ---- plain rows
     for i in range(n_rows):
@@ -331,6 +345,8 @@ def extract_batch(texts) -> dict:
     return {
         "clean_text": clean,
         "spans": spans,
+        "words": words,
+        "tables": tables,
         "n_nodes": n_nodes,
         "n_spans": [len(s) for s in spans],
         "n_bytes": n_bytes,
@@ -363,4 +379,32 @@ def extract_batch_flat(texts) -> dict:
     res["span_starts"] = starts
     res["span_ends"] = ends
     res["span_labels"] = labels
+
+    # words flattened the same way (flat buffers → ListArray.from_arrays;
+    # the per-row dict path was ~10x slower for spans and words are denser)
+    wrows = res["words"]
+    w_counts = [len(w) for w in wrows]
+    w_offsets = np.zeros(len(wrows) + 1, dtype=np.int32)
+    np.cumsum(w_counts, out=w_offsets[1:])
+    w_total = int(w_offsets[-1])
+    wx0 = np.empty(w_total, dtype=np.float64)
+    wy0 = np.empty(w_total, dtype=np.float64)
+    wx1 = np.empty(w_total, dtype=np.float64)
+    wy1 = np.empty(w_total, dtype=np.float64)
+    w_texts: list[str] = []
+    k = 0
+    for row in wrows:
+        for w, x0, y0, x1, y1 in row:
+            w_texts.append(w)
+            wx0[k] = x0
+            wy0[k] = y0
+            wx1[k] = x1
+            wy1[k] = y1
+            k += 1
+    res["word_offsets"] = w_offsets
+    res["word_texts"] = w_texts
+    res["word_x0"] = wx0
+    res["word_y0"] = wy0
+    res["word_x1"] = wx1
+    res["word_y1"] = wy1
     return res

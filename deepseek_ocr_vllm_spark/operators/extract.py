@@ -36,9 +36,40 @@ _SPAN_PA = pa.list_(
     pa.struct([("start", pa.int32()), ("end", pa.int32()), ("label", pa.string())])
 )
 
+# X2 word layout boxes (scripts/pdf_extract.py:58-73 contract)
+WORD_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("text", T.StringType(), False),
+            T.StructField("x0", T.DoubleType(), False),
+            T.StructField("y0", T.DoubleType(), False),
+            T.StructField("x1", T.DoubleType(), False),
+            T.StructField("y1", T.DoubleType(), False),
+        ]
+    )
+)
+
+_WORD_PA = pa.list_(
+    pa.struct(
+        [
+            ("text", pa.string()),
+            ("x0", pa.float64()),
+            ("y0", pa.float64()),
+            ("x1", pa.float64()),
+            ("y1", pa.float64()),
+        ]
+    )
+)
+
+# X3 table cell grids: tables → rows → cells (pdf_extract.py:74-81)
+TABLE_TYPE = T.ArrayType(T.ArrayType(T.ArrayType(T.StringType())))
+_TABLE_PA = pa.list_(pa.list_(pa.list_(pa.string())))
+
 EXTRACT_FIELDS = [
     ("clean_text", T.StringType(), pa.string()),
     ("spans", SPAN_TYPE, _SPAN_PA),
+    ("words", WORD_TYPE, _WORD_PA),
+    ("tables", TABLE_TYPE, _TABLE_PA),
     ("n_nodes", T.IntegerType(), pa.int32()),
     ("n_spans", T.IntegerType(), pa.int32()),
     ("n_bytes", T.LongType(), pa.int64()),
@@ -76,9 +107,25 @@ def extract_map_in_arrow(df: DataFrame, text_col: str = "text") -> DataFrame:
             spans_arr = pa.ListArray.from_arrays(
                 pa.array(res["span_offsets"], type=pa.int32()), struct_arr
             ).cast(_SPAN_PA)
+            word_struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(res["word_texts"], type=pa.string()),
+                    pa.array(res["word_x0"], type=pa.float64()),
+                    pa.array(res["word_y0"], type=pa.float64()),
+                    pa.array(res["word_x1"], type=pa.float64()),
+                    pa.array(res["word_y1"], type=pa.float64()),
+                ],
+                names=["text", "x0", "y0", "x1", "y1"],
+            )
+            words_arr = pa.ListArray.from_arrays(
+                pa.array(res["word_offsets"], type=pa.int32()), word_struct
+            ).cast(_WORD_PA)
+            tables_arr = pa.array(res["tables"], type=_TABLE_PA)
             arrays = list(batch.columns) + [
                 pa.array(res["clean_text"], type=pa.string()),
                 spans_arr,
+                words_arr,
+                tables_arr,
                 pa.array(res["n_nodes"], type=pa.int32()),
                 pa.array(res["n_spans"], type=pa.int32()),
                 pa.array(res["n_bytes"], type=pa.int64()),

@@ -21,19 +21,23 @@ def _golden_tuple(t):
         g["n_spans"],
         g["n_bytes"],
         g["kind"],
+        [(d["text"], d["x0"], d["y0"], d["x1"], d["y1"]) for d in g["words"]],
+        g["tables"],
     )
 
 
 def _assert_batch_equals_golden(texts):
     res = vectorized.extract_batch(texts)
     for i, t in enumerate(texts):
-        ct, sp, nn, ns, nb, kd = _golden_tuple(t)
+        ct, sp, nn, ns, nb, kd, wd, tb = _golden_tuple(t)
         assert res["clean_text"][i] == ct, f"row {i}: clean_text mismatch"
         assert [(s, e, l) for s, e, l in res["spans"][i]] == sp, f"row {i}: spans"
         assert res["n_nodes"][i] == nn
         assert res["n_spans"][i] == ns
         assert res["n_bytes"][i] == nb
         assert res["kind"][i] == kd
+        assert [tuple(w) for w in res["words"][i]] == wd, f"row {i}: words"
+        assert res["tables"][i] == tb, f"row {i}: tables"
 
 
 def test_fixture_corpus_equality(transcripts_pdf):
@@ -177,3 +181,37 @@ def test_empty_and_null():
 )
 def test_detect_kind(text, kind):
     assert spec.detect_kind(text) == kind
+
+
+def test_pdf_word_boxes_and_table_cells_contract():
+    """X2/X3: word boxes carry the pdfplumber contract (text,x0,y0,x1,y1,
+    reading order, fixed-advance model) and table blocks emit their cell
+    grid alongside the [TABLE] marker in clean_text."""
+    payload = (
+        "72,40,10,Serif|alpha beta\n"
+        "72,100,9,Serif|h1 | h2 | h3\n"
+        "72,111,9,Serif|v1 | v2 | v3\n"
+    )
+    g = golden.extract_turn(payload)
+    assert g["kind"] == "pdf"
+    # word boxes: reading order, advance = 0.6 * size
+    w0 = g["words"][0]
+    assert w0 == {"text": "alpha", "x0": 72.0, "y0": 40.0,
+                  "x1": 72.0 + 5 * 6.0, "y1": 50.0}
+    w1 = g["words"][1]  # 'beta' starts at char offset 6
+    assert w1["text"] == "beta" and w1["x0"] == 72.0 + 6 * 6.0
+    assert [w["text"] for w in g["words"]] == [
+        "alpha", "beta", "h1", "|", "h2", "|", "h3", "v1", "|", "v2", "|", "v3",
+    ]
+    # table cells: rows x cells, stripped; marker still in clean_text
+    assert g["tables"] == [[["h1", "h2", "h3"], ["v1", "v2", "v3"]]]
+    assert spec.TABLE_MARKER in g["clean_text"]
+    # vectorized path emits the identical values
+    v = vectorized.extract_batch([payload])
+    assert [tuple(w) for w in v["words"][0]] == [
+        (d["text"], d["x0"], d["y0"], d["x1"], d["y1"]) for d in g["words"]
+    ]
+    assert v["tables"][0] == g["tables"]
+    # html/plain rows carry empty layout columns
+    h = golden.extract_turn("<main><p>hello world of text</p></main>")
+    assert h["words"] == [] and h["tables"] == []

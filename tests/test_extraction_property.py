@@ -48,6 +48,8 @@ def _norm(g):
         g["clean_text"],
         [(d["start"], d["end"], d["label"]) for d in g["spans"]],
         g["n_nodes"], g["n_spans"], g["n_bytes"], g["kind"],
+        [(d["text"], d["x0"], d["y0"], d["x1"], d["y1"]) for d in g["words"]],
+        g["tables"],
     )
 
 
@@ -62,6 +64,8 @@ def test_golden_equals_vectorized_property(texts):
             [(s, e, l) for s, e, l in res["spans"][i]],
             res["n_nodes"][i], res["n_spans"][i], res["n_bytes"][i],
             res["kind"][i],
+            [tuple(w) for w in res["words"][i]],
+            res["tables"][i],
         )
         assert g == v, (repr(t[:120]), g[:2], v[:2])
         # span invariant: end-exclusive, in-bounds

@@ -32,8 +32,8 @@ def test_per_turn_text_equality_vs_golden(spark, transcripts_pdf, extracted):
     got = (
         pipeline.read_extracted(spark, out)
         .orderBy("conv_id", "turn_idx")
-        .select("conv_id", "turn_idx", "clean_text", "spans",
-                "n_nodes", "n_spans", "n_bytes", "kind")
+        .select("conv_id", "turn_idx", "clean_text", "spans", "words",
+                "tables", "n_nodes", "n_spans", "n_bytes", "kind")
         .collect()
     )
     want = transcripts_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
@@ -46,6 +46,11 @@ def test_per_turn_text_equality_vs_golden(spark, transcripts_pdf, extracted):
         assert [(s.start, s.end, s.label) for s in row.spans] == [
             (d["start"], d["end"], d["label"]) for d in g["spans"]
         ]
+        assert [(w.text, w.x0, w.y0, w.x1, w.y1) for w in row.words] == [
+            (d["text"], d["x0"], d["y0"], d["x1"], d["y1"])
+            for d in g["words"]
+        ]
+        assert [[list(r) for r in t] for t in row.tables] == g["tables"]
         assert (row.n_nodes, row.n_spans, row.n_bytes, row.kind) == (
             g["n_nodes"], g["n_spans"], g["n_bytes"], g["kind"]
         )
