@@ -63,6 +63,7 @@ PDF_X_JUMP = 50.0  # new block when x shifts by more than this (column break)
 PDF_HEADING_FACTOR = 1.5  # block is heading when size >= factor * median size
 TABLE_MARKER = "[TABLE]"
 PDF_CHAR_ADVANCE = 0.6  # fixed-advance glyph model: advance ≈ 0.6 × size
+_PDF_WORD_RE = re.compile(r"\S+")
 
 # ------------------------------------------------------------ plain-text spec
 
@@ -189,13 +190,12 @@ def pdf_word_boxes(x: float, y: float, size: float, content: str) -> list[tuple]
     reference's pdfplumber word list (scripts/pdf_extract.py:58-73); a real
     PDF parser would supply real advances."""
     adv = PDF_CHAR_ADVANCE * (size if size > 0 else 1.0)
+    y1 = y + size
     out: list[tuple] = []
-    pos = 0
-    for w in content.split():
-        c = content.index(w, pos)
-        pos = c + len(w)
+    for m in _PDF_WORD_RE.finditer(content):  # \S+ runs == str.split words
+        c, e = m.span()
         x0 = x + c * adv
-        out.append((w, x0, y, x0 + len(w) * adv, y + size))
+        out.append((m.group(0), x0, y, x0 + (e - c) * adv, y1))
     return out
 
 

@@ -215,12 +215,14 @@ def _extract_pdf_rows(texts: list[str]) -> list[tuple[str, list, int, list, list
         sz = np.array([r[2] for r in recs], dtype=np.float64)
         order = np.lexsort((np.arange(n), x, y))  # stable (y, x, idx)
         xo, yo, so = x[order], y[order], sz[order]
+        # python floats, not np.float64 scalars: numpy scalar arithmetic
+        # dispatch is ~5-10x slower per op and the box math is per-word
+        # (IEEE results identical, so golden-equality is unaffected)
+        xl, yl, szl = x.tolist(), y.tolist(), sz.tolist()
+        boxes = spec.pdf_word_boxes
         words: list[tuple] = []
-        for k in range(n):
-            i = order[k]
-            words.extend(
-                spec.pdf_word_boxes(x[i], y[i], sz[i], contents[i])
-            )
+        for i in order.tolist():
+            words.extend(boxes(xl[i], yl[i], szl[i], contents[i]))
         prev_sz = np.where(so[:-1] > 0, so[:-1], 1.0)
         brk = ((yo[1:] - yo[:-1]) > spec.PDF_Y_GAP_FACTOR * prev_sz) | (
             np.abs(xo[1:] - xo[:-1]) > spec.PDF_X_JUMP

@@ -29,6 +29,26 @@ def read_binary_docs(spark: SparkSession, path: str,
     )
 
 
+def extract_binary_docs(spark: SparkSession, path: str,
+                        glob: str = "*.pdf") -> DataFrame:
+    """S1 → X1 end-to-end: the binaryFile scan FEEDS the extraction
+    operator. Payload bytes are decoded as UTF-8 text (this corpus stores
+    text-encoded HTML/PDF-layout payloads; real PDF binaries would swap the
+    decode for a pdfplumber parse inside the same Arrow batch — the library
+    is absent in this container, so the byte→text seam is the documented
+    gate) and every file flows through the same whole-batch mapInArrow
+    extractor the transcript pipeline uses. Returns one row per file with
+    (path, doc_sha256, clean_text, spans, words, tables, metrics)."""
+    from ..operators.extract import extract_map_in_arrow
+
+    docs = read_binary_docs(spark, path, glob=glob)
+    as_text = docs.select(
+        "path", "doc_sha256",
+        F.decode(F.col("content"), "utf-8").alias("text"),
+    )
+    return extract_map_in_arrow(as_text, text_col="text").drop("text")
+
+
 def write_manifest_jsonl(df: DataFrame, out_path: str,
                          min_chars: int = 1, min_pages: int = 1) -> None:
     """S8 + P1: one JSON object per processed doc with strict-mode failure

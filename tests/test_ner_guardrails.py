@@ -113,6 +113,30 @@ def test_guardrails(spark):
     assert len(got2) == 5  # explicit limit respected
 
 
+def test_binary_scan_feeds_extractor(spark, tmp_path):
+    """S1 → X1: files from the binaryFile scan run through the SAME
+    extraction operator as transcript turns, producing identical results
+    to the golden extractor on the decoded payload."""
+    from deepseek_ocr_vllm_spark.extraction import golden
+    from deepseek_ocr_vllm_spark.sources.binary_docs import extract_binary_docs
+
+    d = tmp_path / "bin"
+    d.mkdir()
+    pdfish = "72,40,20,Serif-Bold|Doc Title\n72,100,10,Serif|a | b | c\n72,111,10,Serif|d | e | f\n"
+    htmlish = "<main><p>the real body of this little page here</p></main>"
+    (d / "x.pdf").write_text(pdfish)
+    (d / "y.pdf").write_text(htmlish)
+    rows = {r.path.rsplit("/", 1)[-1]: r
+            for r in extract_binary_docs(spark, str(d)).collect()}
+    for fname, payload in [("x.pdf", pdfish), ("y.pdf", htmlish)]:
+        g = golden.extract_turn(payload)
+        r = rows[fname]
+        assert r.clean_text == g["clean_text"]
+        assert r.kind == g["kind"]
+        assert [[list(row) for row in t] for t in r.tables] == g["tables"]
+        assert len(r.words) == len(g["words"])
+
+
 def test_binary_scan_and_manifest(spark, tmp_path):
     from deepseek_ocr_vllm_spark.sources.binary_docs import (
         read_binary_docs, write_manifest_jsonl)
