@@ -75,6 +75,27 @@ _SHINGLE_SQL_DUCK = """
   WHERE len(ws) >= 3
 """
 
+# hot-shingle skew guard: a shingle appearing in more than this fraction
+# of docs is boilerplate — it contributes no near-dup signal but its
+# equi-join bucket is O(df²) pairs (THE skew bomb at 100 TB). Dropped on
+# both engines, so the gate checks identical semantics.
+import os as _os
+
+MAX_SHINGLE_DF_FRAC = float(_os.environ.get("SPARK_GRAFT_MAX_SHINGLE_DF", "0.25"))
+
+_SHINGLE_FILTERED_DUCK = f"""
+    ds_all AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM ds_all),
+    hot AS (
+      SELECT shingle FROM ds_all GROUP BY shingle
+      HAVING COUNT(*) > (SELECT nd FROM n_docs) * {MAX_SHINGLE_DF_FRAC}
+    ),
+    ds AS (
+      SELECT doc_id, shingle FROM ds_all
+      WHERE shingle NOT IN (SELECT shingle FROM hot)
+    )
+"""
+
 
 def _shingles(spark, sf_dir, max_doc: int = 150):
     """Word-trigram shingles, 1-indexed windows — mirrors the DuckDB CTE."""
@@ -104,7 +125,7 @@ def _shingles(spark, sf_dir, max_doc: int = 150):
     "dd_ngram_jaccard",
     f"""
     WITH sh AS ({_SHINGLE_SQL_DUCK}),
-    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    {_SHINGLE_FILTERED_DUCK},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -121,11 +142,23 @@ def _shingles(spark, sf_dir, max_doc: int = 150):
     """,
 )
 def dd_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup: shingle → self-join on shingle → |∩|/|∪|.
-    Scale path: the shingle equi-join shuffles on the shingle hash; hot
-    shingles are the skew risk → drop ultra-frequent shingles upstream
-    (here the corpus is small enough not to)."""
-    ds = _shingles(spark, sf_dir).distinct()
+    """n-gram Jaccard near-dup: shingle → self-join on shingle → |∩|/|∪|,
+    with a hot-shingle document-frequency cap (MAX_SHINGLE_DF_FRAC): a
+    shingle in >25% of docs is boilerplate whose join bucket is O(df²)
+    pairs — THE skew bomb at 100 TB — so it is dropped before the
+    equi-join on both engines. The df computation is itself one groupBy
+    and the drop is a broadcast left-anti (the hot set is tiny); Jaccard
+    sizes use the FILTERED sets so similarity semantics stay consistent."""
+    ds_all = _shingles(spark, sf_dir).distinct()
+    nd = ds_all.agg(F.countDistinct("doc_id").alias("nd"))
+    hot = (
+        ds_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") > F.col("nd") * MAX_SHINGLE_DF_FRAC)
+        .select("shingle")
+    )
+    ds = ds_all.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = ds.alias("a")
     b = ds.alias("b")
@@ -159,8 +192,6 @@ def dd_ngram_jaccard(spark, sf_dir):
 # prob at jaccard .8 = 1-(1-.8^8)^16 ≈ .95, at .5 ≈ .06: a usable S-curve).
 # Both the Spark plan and the oracle SQL read the same knobs, so the gate
 # stays green at any setting.
-import os as _os
-
 N_MINHASH = int(_os.environ.get("SPARK_GRAFT_MINHASH_PERMS", "6"))
 ROWS_PER_BAND = int(_os.environ.get("SPARK_GRAFT_MINHASH_ROWS_PER_BAND", "2"))
 N_BANDS = N_MINHASH // ROWS_PER_BAND

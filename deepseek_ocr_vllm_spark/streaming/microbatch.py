@@ -33,6 +33,13 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str,
 
     complete output mode → every window surfaces (no watermark cutoff),
     so the result is deterministically comparable to a batch GROUP BY.
+
+    This is the ORACLE variant (deterministic, bounded input). The
+    production path is windowed_event_counts_append below: append mode +
+    watermark bounds state (closed windows are evicted, late rows beyond
+    the watermark dropped — semantics pinned by
+    tests/test_streaming_semantics.py) and lands finalized windows in a
+    file sink instead of holding every window in driver memory.
     """
     name = "stream_out_" + uuid.uuid4().hex[:8]
     stream = (
@@ -66,6 +73,56 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str,
             F.col("value_sum_dec").cast("double").alias("value_sum"),
         )
         .orderBy("win_start", "event_type")
+    )
+
+
+def windowed_event_counts_append(
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    ckpt_path: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    glob: str = "*.parquet",
+    max_files_per_trigger: int | None = None,
+):
+    """PRODUCTION window-count path: append output mode + watermark.
+
+    State is bounded — a window is finalized and EVICTED once the
+    watermark passes its end (late rows beyond it are dropped; exact
+    eviction timing pinned in tests/test_streaming_semantics.py) — and
+    finalized windows append to a parquet sink with a durable checkpoint,
+    so the query restarts exactly-once from ckpt_path. Contrast
+    windowed_event_counts above (complete mode + memory sink): right for
+    the deterministic oracle, unbounded state in production.
+
+    Returns the StreamingQuery; callers own its lifecycle
+    (awaitTermination / processAllAvailable / stop).
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum_dec"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type", "n_events",
+            F.col("value_sum_dec").cast("double").alias("value_sum"),
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt_path)
+        .start()
     )
 
 

@@ -85,3 +85,32 @@ def test_strip_accents_python_and_sql_agree(spark):
     df = spark.createDataFrame([("Süpplìer# café øre",)], ["s"])
     got = df.select(strip_accents_sql(F.col("s")).alias("o")).first().o
     assert got == "Supplier# cafe ore"
+
+
+def test_ivf_index_materialized_matches_oneshot(spark, tmp_path):
+    """The materialized IVF index (build once, probe per query) returns
+    EXACTLY the one-shot sim_ivf_topk result (same quantizer, same probes,
+    same decimal-exact scoring), and the probed-cell filter reaches the
+    assignments scan as a PARTITION filter (unprobed cells never read)."""
+    from deepseek_ocr_vllm_spark.operators import ann
+    from deepseek_ocr_vllm_spark.plans.queries_ml import sim_ivf_topk
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    ann.build_ivf_index(emb, idx)
+
+    qvec = [float(v) for v in
+            emb.filter("vec_id = 0").first().embedding]
+    got = ann.ivf_search(spark, idx, qvec, k=10, n_probe=2,
+                         exclude_vec_id=0)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters: [", 1)[1][:120]
+    assert "TakeOrderedAndProject" in plan
+
+    want = sim_ivf_topk(spark, sf).collect()
+    have = got.collect()
+    assert [(r.vec_id, r.label, r.cosine) for r in have] == [
+        (r.vec_id, r.label, r.cosine) for r in want
+    ]

@@ -73,3 +73,48 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # late 10:01 row dropped (A evicted, not resurrected); D finalized
     # with 1; the 10:30-10:35 window never finalizes and must be absent
     assert got == {"10:00": 2, "10:15": 1}, got
+
+
+def test_production_append_sink_path(spark, tmp_path):
+    """windowed_event_counts_append (the documented production path):
+    append mode + watermark land exactly the FINALIZED windows in the
+    parquet sink — same eviction schedule as the memory-sink pin above."""
+    from deepseek_ocr_vllm_spark.streaming.microbatch import (
+        windowed_event_counts_append)
+
+    def write_full(d, ts_list, mtime):
+        rows = [
+            (i, datetime.fromisoformat(t).replace(tzinfo=timezone.utc),
+             1, "click", 1.0, "{}")
+            for i, t in enumerate(ts_list)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (mtime, mtime))
+
+    src = tmp_path / "src"
+    write_full(str(src / "f0"), ["2024-01-01 10:00:00", "2024-01-01 10:02:00",
+                                 "2024-01-01 10:17:00"], 1_000_000)
+    write_full(str(src / "f1"), ["2024-01-01 10:32:00"], 1_000_001)
+    write_full(str(src / "f2"), ["2024-01-01 10:01:00"], 1_000_002)  # late
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = windowed_event_counts_append(
+        spark, str(src) + "/*", out, ckpt, max_files_per_trigger=1,
+        glob="*.parquet",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.win_start.strftime("%H:%M"), r.n_events, r.value_sum)
+        for r in spark.read.parquet(out).collect()
+    }
+    # A=[10:00,10:05) finalized with 2 (late 10:01 dropped);
+    # D=[10:15,10:20) finalized with 1; 10:32's window never finalizes
+    assert got == {("10:00", 2, 2.0), ("10:15", 1, 1.0)}
