@@ -9,11 +9,10 @@ Reference semantics (apps/csv-ingestion-worker/parser.go:83-162):
 
 Spark-first shape: Spark has no native Excel source, so files come in via
 the binaryFile reader and each workbook is parsed inside ``mapInPandas``
-(one Python call per Arrow batch of files, never per row). The workbook
-parser itself needs openpyxl, which this container does not ship — that
-import is gated and raises a clear NotImplementedError at RUN time, while
-the sheet-selection / pad / canonicalization logic is pure Python and
-fully tested (test_cleaning_sources.py).
+(one Python call per Arrow batch of files, never per row). The parser
+prefers openpyxl when installed and otherwise uses a dependency-free
+stdlib zip+XML reader (an xlsx IS a zip of XML) covering the tabular
+registry subset — S4 runs end-to-end in this container either way.
 """
 
 from __future__ import annotations
@@ -58,18 +57,105 @@ def normalize_rows(rows: list[list]) -> tuple[list[str], list[list[str]]]:
     return canon, body
 
 
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_RNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_PKG_RNS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def _cell_col(ref: str) -> int:
+    """'BC12' → 54 (0-based column index); -1 when no letters."""
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return n - 1
+
+
+def _parse_workbook_stdlib(content: bytes) -> list[list]:
+    """Dependency-free .xlsx parse (an xlsx is a zip of XML): workbook.xml
+    sheet order + rels → the selected sheet's XML; sharedStrings / inline
+    strings / numeric and boolean cells; column gaps padded with None.
+    Covers the registry-workbook subset the reference's parser.go handles
+    (tabular sheets of strings and numbers); no date/style decoding —
+    date cells surface as raw Excel serial numbers."""
+    import io
+    import re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    z = zipfile.ZipFile(io.BytesIO(content))
+    wb = ET.fromstring(z.read("xl/workbook.xml"))
+    sheets = [(sh.get("name"), sh.get(_RNS + "id"))
+              for sh in wb.iter(_NS + "sheet")]
+    rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+    rid_to_target = {
+        r.get("Id"): r.get("Target")
+        for r in rels.iter(_PKG_RNS + "Relationship")
+    }
+    name = select_sheet([n for n, _rid in sheets])
+    if name is None:
+        return []
+    target = rid_to_target[dict(sheets)[name]].lstrip("/")
+    if not target.startswith("xl/"):
+        target = "xl/" + target
+
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in z.namelist():
+        sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+        shared = [
+            "".join(t.text or "" for t in si.iter(_NS + "t"))
+            for si in sst.iter(_NS + "si")
+        ]
+
+    int_re = re.compile(r"-?\d+")
+    rows: list[list] = []
+    for row in ET.fromstring(z.read(target)).iter(_NS + "row"):
+        cells: list = []
+        for c in row.iter(_NS + "c"):
+            col = _cell_col(c.get("r", ""))
+            if col < 0:
+                col = len(cells)
+            while len(cells) <= col:
+                cells.append(None)
+            t = c.get("t", "n")
+            v = c.find(_NS + "v")
+            if t == "s":
+                cells[col] = shared[int(v.text)] if v is not None else None
+            elif t == "inlineStr":
+                is_el = c.find(_NS + "is")
+                cells[col] = (
+                    "".join(tt.text or "" for tt in is_el.iter(_NS + "t"))
+                    if is_el is not None else None
+                )
+            elif t == "b":
+                cells[col] = None if v is None else v.text == "1"
+            elif v is None or v.text is None:
+                cells[col] = None
+            elif t == "str":  # cached formula string
+                cells[col] = v.text
+            elif int_re.fullmatch(v.text):
+                cells[col] = int(v.text)
+            else:
+                try:
+                    cells[col] = float(v.text)
+                except ValueError:
+                    cells[col] = v.text
+        rows.append(cells)
+    return rows
+
+
 def _parse_workbook(content: bytes) -> list[list]:
-    """openpyxl-gated workbook → list of rows of the selected sheet."""
+    """Workbook → rows of the selected sheet. openpyxl when installed
+    (full fidelity: dates, formula results); otherwise the stdlib zip+XML
+    parser above — S4 runs end-to-end either way."""
     try:
         import io
 
         from openpyxl import load_workbook  # noqa: PLC0415
-    except ImportError as e:  # pragma: no cover - container has no openpyxl
-        raise NotImplementedError(
-            "Excel parsing needs openpyxl (not in this container); the "
-            "Spark plumbing and row-normalization logic are real and "
-            "tested — install openpyxl to enable the IO step"
-        ) from e
+    except ImportError:
+        return _parse_workbook_stdlib(content)
     wb = load_workbook(io.BytesIO(content), read_only=True, data_only=True)
     sheet = select_sheet(wb.sheetnames)
     ws = wb[sheet]

@@ -242,24 +242,97 @@ def test_excel_sheet_selection_and_row_normalization():
     assert X.normalize_rows([[None], ["", ""]]) == ([], [])
 
 
-def test_excel_read_requires_openpyxl(spark, tmp_path):
-    """The distributed path is openpyxl-gated: without the lib the UDF
-    raises a clear NotImplementedError at run time (container has none);
-    with it, the workbook parses end-to-end."""
-    import pytest as _pytest
+def _make_xlsx(shared_strings: bool) -> bytes:
+    """Minimal real .xlsx (zip of XML): a skipped 'Info' sheet + a 'Data'
+    sheet with header, a short row, a number cell, and a column gap.
+    shared_strings=True stores strings via sharedStrings.xml; False uses
+    inline strings — the stdlib parser must handle both encodings."""
+    import io
+    import zipfile
 
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = ('xmlns:r="http://schemas.openxmlformats.org/officeDocument/'
+           '2006/relationships"')
+
+    if shared_strings:
+        strings = ["doc sheet", "Vessel Name", "IMO", "Flag",
+                   "Aurora", "NO", "Bella"]
+        sid = {s: i for i, s in enumerate(strings)}
+
+        def cell(ref, v):
+            if isinstance(v, str):
+                return f'<c r="{ref}" t="s"><v>{sid[v]}</v></c>'
+            return f'<c r="{ref}"><v>{v}</v></c>'
+
+        sst = (f'<?xml version="1.0"?><sst {ns} count="{len(strings)}" '
+               f'uniqueCount="{len(strings)}">'
+               + "".join(f"<si><t>{s}</t></si>" for s in strings) + "</sst>")
+    else:
+        def cell(ref, v):
+            if isinstance(v, str):
+                return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+            return f'<c r="{ref}"><v>{v}</v></c>'
+
+        sst = None
+
+    info = (f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+            f'<row r="1">{cell("A1", "doc sheet")}</row>'
+            f"</sheetData></worksheet>")
+    data = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        f'<row r="1">{cell("A1", "Vessel Name")}{cell("B1", "IMO")}'
+        f'{cell("C1", "Flag")}</row>'
+        f'<row r="2">{cell("A2", "Aurora")}{cell("B2", 9074729)}'
+        f'{cell("C2", "NO")}</row>'
+        f'<row r="3">{cell("A3", "Bella")}</row>'  # short row → padded
+        f'<row r="4">{cell("B4", 123)}</row>'  # column gap → A=None
+        f"</sheetData></worksheet>")
+    workbook = (
+        f'<?xml version="1.0"?><workbook {ns} {rns}><sheets>'
+        f'<sheet name="Info" sheetId="1" r:id="rId1"/>'
+        f'<sheet name="Data" sheetId="2" r:id="rId2"/>'
+        f"</sheets></workbook>")
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+        'openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet2.xml"/>'
+        "</Relationships>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", info)
+        z.writestr("xl/worksheets/sheet2.xml", data)
+        if sst:
+            z.writestr("xl/sharedStrings.xml", sst)
+    return buf.getvalue()
+
+
+def test_excel_read_end_to_end(spark, tmp_path):
+    """S4 end-to-end WITHOUT openpyxl: binaryFile scan → mapInPandas
+    stdlib zip+XML workbook parse → canonical long rows. Boilerplate
+    'Info' sheet skipped, short rows padded, column gaps None→'', both
+    sharedStrings and inlineStr encodings."""
     from deepseek_ocr_vllm_spark.sources import excel_ingest as X
 
-    has_openpyxl = True
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError:
-        has_openpyxl = False
-
-    (tmp_path / "reg.xlsx").write_bytes(b"PK\x03\x04 not a real workbook")
-    df = X.read_registry_excel(spark, str(tmp_path), ["VESSEL_NAME", "IMO"])
-    if not has_openpyxl:
-        with _pytest.raises(Exception, match="openpyxl"):
-            df.collect()
-    else:  # pragma: no cover - not this container
-        _pytest.skip("openpyxl present: exercised by real-workbook envs")
+    (tmp_path / "reg_sst.xlsx").write_bytes(_make_xlsx(shared_strings=True))
+    (tmp_path / "reg_inline.xlsx").write_bytes(_make_xlsx(shared_strings=False))
+    cols = ["VESSEL_NAME", "IMO", "FLAG"]
+    df = X.read_registry_excel(spark, str(tmp_path), cols)
+    got = df.collect()
+    assert len(got) == 6  # 3 body rows per workbook
+    by_file = {}
+    for r in got:
+        by_file.setdefault(r["__path"].rsplit("/", 1)[-1], []).append(
+            (r.VESSEL_NAME, r.IMO, r.FLAG))
+    for rows in by_file.values():
+        assert rows == [
+            ("Aurora", "9074729", "NO"),
+            ("Bella", "", ""),          # short row padded
+            ("", "123", ""),            # column gap → ''
+        ]
