@@ -191,6 +191,60 @@ def _tokenize_html(text: str, seg_text: list, seg_link: list, seg_label: list,
 _PDF_DT = np.dtype([("x", "f8"), ("y", "f8"), ("size", "f8")])
 
 
+def _word_boxes_row(x, y, sz, contents, order) -> list[tuple]:
+    """X2 word boxes for one PDF row, vectorized: join the reading-order
+    lines on '\\n', find \\S+ runs with a numpy byte mask (ASCII fast
+    path — the regex + per-word Python arithmetic was ~19% of kernel
+    time), attribute words to lines via searchsorted, and do the box math
+    on whole arrays. Float ops replicate spec.pdf_word_boxes exactly
+    (same operations, same order → identical IEEE doubles); non-ASCII
+    rows fall back to the per-line leaf helper."""
+    ordered = order.tolist()
+    lines = [contents[i] for i in ordered]
+    joined = "\n".join(lines)
+    b = joined.encode("utf-8")
+    if len(b) != len(joined):  # non-ASCII: byte offsets != char offsets
+        xl, yl, szl = x.tolist(), y.tolist(), sz.tolist()
+        boxes = spec.pdf_word_boxes
+        words: list[tuple] = []
+        for i in ordered:
+            words.extend(boxes(xl[i], yl[i], szl[i], contents[i]))
+        return words
+    arr = np.frombuffer(b, dtype=np.uint8)
+    # Python re \S complement over ASCII: \t\n\v\f\r, \x1c-\x1f, space
+    ws = ((arr == 32) | ((arr >= 9) & (arr <= 13))
+          | ((arr >= 28) & (arr <= 31)))
+    nws = ~ws
+    prev = np.empty_like(nws)
+    prev[0] = False
+    prev[1:] = nws[:-1]
+    starts = np.flatnonzero(nws & ~prev)
+    if starts.size == 0:
+        return []
+    nxt = np.empty_like(nws)
+    nxt[-1] = False
+    nxt[:-1] = nws[1:]
+    ends = np.flatnonzero(nws & ~nxt) + 1
+
+    n_lines = len(lines)
+    line_starts = np.zeros(n_lines, dtype=np.int64)
+    lens_l = np.fromiter((len(ln) for ln in lines), dtype=np.int64,
+                         count=n_lines)
+    if n_lines > 1:
+        np.cumsum(lens_l[:-1] + 1, out=line_starts[1:])
+    li = np.searchsorted(line_starts, starts, side="right") - 1
+
+    szo = sz[order]
+    adv_l = spec.PDF_CHAR_ADVANCE * np.where(szo > 0, szo, 1.0)
+    adv_w = adv_l[li]
+    x0 = x[order][li] + (starts - line_starts[li]) * adv_w
+    x1 = x0 + (ends - starts) * adv_w
+    y0 = y[order][li]
+    y1 = y0 + szo[li]
+    texts = [joined[s:e] for s, e in zip(starts.tolist(), ends.tolist())]
+    return list(zip(texts, x0.tolist(), y0.tolist(), x1.tolist(), y1.tolist()))
+
+
 def _extract_pdf_rows(texts: list[str]) -> list[tuple[str, list, int, list, list]]:
     """PDF-layout rows: parse line records, numpy reading-order + block
     segmentation (vectorized gap/column-break tests), per-block merge,
@@ -215,14 +269,7 @@ def _extract_pdf_rows(texts: list[str]) -> list[tuple[str, list, int, list, list
         sz = np.array([r[2] for r in recs], dtype=np.float64)
         order = np.lexsort((np.arange(n), x, y))  # stable (y, x, idx)
         xo, yo, so = x[order], y[order], sz[order]
-        # python floats, not np.float64 scalars: numpy scalar arithmetic
-        # dispatch is ~5-10x slower per op and the box math is per-word
-        # (IEEE results identical, so golden-equality is unaffected)
-        xl, yl, szl = x.tolist(), y.tolist(), sz.tolist()
-        boxes = spec.pdf_word_boxes
-        words: list[tuple] = []
-        for i in order.tolist():
-            words.extend(boxes(xl[i], yl[i], szl[i], contents[i]))
+        words = _word_boxes_row(x, y, sz, contents, order)
         prev_sz = np.where(so[:-1] > 0, so[:-1], 1.0)
         brk = ((yo[1:] - yo[:-1]) > spec.PDF_Y_GAP_FACTOR * prev_sz) | (
             np.abs(xo[1:] - xo[:-1]) > spec.PDF_X_JUMP

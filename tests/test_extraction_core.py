@@ -215,3 +215,15 @@ def test_pdf_word_boxes_and_table_cells_contract():
     # html/plain rows carry empty layout columns
     h = golden.extract_turn("<main><p>hello world of text</p></main>")
     assert h["words"] == [] and h["tables"] == []
+
+
+def test_pdf_word_boxes_non_ascii_fallback():
+    """Non-ASCII PDF content takes the per-line fallback (byte offsets !=
+    char offsets) — still identical to golden."""
+    payload = (
+        "72,40,10,Serif|café résumé naïve\n"
+        "72,52,10,Serif|plain ascii words here\n"
+    )
+    _assert_batch_equals_golden([payload])
+    g = golden.extract_turn(payload)
+    assert g["words"][0]["text"] == "café"
