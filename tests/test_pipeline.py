@@ -189,3 +189,33 @@ def test_inline_metrics_mode_matches_rescan(spark, transcripts_path, tmp_path_fa
     b = sorted(tuple(r) for r in spark.read.parquet(
         pipeline.checkpoint_path(out_b)).select(*cols).collect())
     assert a == b and len(a) > 0
+
+
+def test_salt_defuses_long_conversation_skew(spark):
+    """North rule: a pathologically long conversation must SPREAD across
+    buckets at slice granularity (turn_idx div TURNS_PER_SLICE joins the
+    hash key) instead of pinning one task — with plain hash(conv_id) all
+    10k turns of one conv would land in a single bucket."""
+    import pyspark.sql.functions as F
+
+    n = 32
+    one_conv = spark.range(10_000).select(
+        F.lit("conv_monster").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+    )
+    dist = (
+        pipeline._with_bucket(one_conv, n)
+        .groupBy("bucket_id").count().collect()
+    )
+    n_buckets_hit = len(dist)
+    biggest = max(r["count"] for r in dist)
+    # 10k turns / 256-per-slice = ~40 slices hashed over 32 buckets
+    assert n_buckets_hit >= 20, f"salt failed to spread: {n_buckets_hit}"
+    assert biggest <= 10 * pipeline.TURNS_PER_SLICE, "one bucket pinned"
+    # within a slice, turns stay together (resume granularity intact)
+    slices = (
+        pipeline._with_bucket(one_conv, n)
+        .select("bucket_id", "__slice_id").distinct()
+        .groupBy("__slice_id").count().collect()
+    )
+    assert all(r["count"] == 1 for r in slices)
