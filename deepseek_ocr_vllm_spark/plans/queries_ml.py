@@ -219,17 +219,32 @@ N_BANDS = N_MINHASH // ROWS_PER_BAND
         ON a.band_id = b.band_id AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b, n_shared_bands FROM cand
-    ORDER BY n_shared_bands DESC, doc_a, doc_b LIMIT 200
+    ),
+    ver AS (
+      SELECT c.doc_a, c.doc_b, c.n_shared_bands, COUNT(*) AS n_common
+      FROM cand c
+      JOIN ds a ON a.doc_id = c.doc_a
+      JOIN ds b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2, 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1)
+    SELECT doc_a, doc_b, n_shared_bands,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+             AS jaccard
+    FROM ver
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200
     """,
 )
 def dd_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup: shingle → K min-hashes (min over md5 strings:
-    engine-portable 'permutations') → band keys → bucket self-join.
-    At scale only the tiny band table self-joins — never the corpus.
-    K and band width come from SPARK_GRAFT_MINHASH_* (toy 6/2 for the test
-    oracle, 128/8 at 100 TB — see the knob comment above)."""
+    """MinHash+LSH near-dup, full candidates→VERIFY pipeline: shingle → K
+    min-hashes (min over md5 strings: engine-portable 'permutations') →
+    band keys → bucket self-join for CANDIDATES → exact Jaccard on the
+    candidates only (broadcast the tiny candidate set against the shingle
+    table — the corpus-sized side never self-joins). K and band width come
+    from SPARK_GRAFT_MINHASH_* (toy 6/2 for the test oracle, 128/8 at
+    100 TB — see the knob comment above)."""
     ds = _shingles(spark, sf_dir).distinct()
     mh = (
         ds.crossJoin(
@@ -252,7 +267,7 @@ def dd_minhash_lsh(spark, sf_dir):
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -261,7 +276,33 @@ def dd_minhash_lsh(spark, sf_dir):
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
-        .orderBy(F.desc("n_shared_bands"), "doc_a", "doc_b")
+    )
+    sa = ds.alias("sa")
+    sb = ds.alias("sb")
+    ver = (
+        F.broadcast(cand)
+        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc_b"))
+              & (F.col("sb.shingle") == F.col("sa.shingle")))
+        .groupBy("doc_a", "doc_b", "n_shared_bands")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("za.n") + F.col("zb.n") - F.col("n_common"))
+    )
+    # broadcast the TINY side (verified candidates), never `sizes` — that
+    # is one row per doc, corpus-sized at 100 TB
+    return (
+        F.broadcast(ver)
+        .join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", "n_shared_bands",
+                F.round(jac, 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(200)
     )
 
