@@ -336,3 +336,35 @@ def test_excel_read_end_to_end(spark, tmp_path):
             ("Bella", "", ""),          # short row padded
             ("", "123", ""),            # column gap → ''
         ]
+
+
+def test_iceberg_merge_path_sql_and_gate(spark):
+    """The cluster upsert path: generated MERGE/history SQL carries the
+    exact null-safe matched-and-different semantics of the parquet
+    emulation, and the runtime is jar-gated with a clear error here."""
+    import pytest as _pytest
+
+    from deepseek_ocr_vllm_spark.sources import tableio
+
+    m = tableio.iceberg_merge_sql("db.vessels", ["id"], ["name", "flag"])
+    assert "MERGE INTO db.vessels t USING updates s ON t.id = s.id" in m
+    assert "WHEN MATCHED AND (NOT (t.name <=> s.name) OR NOT (t.flag <=> s.flag))" in m
+    assert "THEN UPDATE SET t.name = s.name, t.flag = s.flag" in m
+    assert m.rstrip().endswith("WHEN NOT MATCHED THEN INSERT *")
+
+    h = tableio.iceberg_history_sql("db.vessels", "db.hist", ["id"],
+                                    ["name"], run_id=7)
+    assert "INSERT INTO db.hist" in h
+    assert "to_json(named_struct('name', t.name)) AS old_values" in h
+    assert "to_json(named_struct('name', s.name)) AS new_values" in h
+    assert "WHERE NOT (t.name <=> s.name)" in h
+    # the history predicate equals the MERGE's update predicate
+    assert "NOT (t.name <=> s.name)" in tableio.iceberg_merge_sql(
+        "db.vessels", ["id"], ["name"])
+
+    # this container has no Iceberg runtime jar → loud gate, not mis-run
+    assert not tableio.iceberg_available(spark)
+    df = spark.createDataFrame([(1, "A", "NO")], ["id", "name", "flag"])
+    with _pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        tableio.iceberg_upsert_with_history(
+            spark, df, "db.vessels", ["id"], ["name", "flag"])
