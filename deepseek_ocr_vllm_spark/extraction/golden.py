@@ -192,6 +192,8 @@ def _extract_pdf(
         if is_table:
             label, btxt = "table", spec.TABLE_MARKER
             tables.append(spec.pdf_table_cells(texts))  # X3 cell grid
+        elif any("Math" in f for f in fonts):
+            label, btxt = "formula", spec.FORMULA_MARKER  # X5 docling marker
         elif median > 0 and max(sizes) >= spec.PDF_HEADING_FACTOR * median:
             label, btxt = "heading", spec.merge_pdf_lines(texts)
         elif any("Mono" in f for f in fonts):

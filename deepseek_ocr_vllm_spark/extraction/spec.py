@@ -62,6 +62,10 @@ PDF_Y_GAP_FACTOR = 1.8  # new block when vertical gap > factor * prev line size
 PDF_X_JUMP = 50.0  # new block when x shifts by more than this (column break)
 PDF_HEADING_FACTOR = 1.5  # block is heading when size >= factor * median size
 TABLE_MARKER = "[TABLE]"
+# docling-contract marker for formula blocks (the reference joins full_text
+# with [TABLE]/[FORMULA] markers, docling_granite_python/1/model.py:18-72);
+# a block set in a Math font is a formula, as Mono marks code
+FORMULA_MARKER = "[FORMULA]"
 PDF_CHAR_ADVANCE = 0.6  # fixed-advance glyph model: advance ≈ 0.6 × size
 _PDF_WORD_RE = re.compile(r"\S+")
 

@@ -292,6 +292,8 @@ def _extract_pdf_rows(texts: list[str]) -> list[tuple[str, list, int, list, list
             if n_pipe >= 2:
                 label, btxt = "table", spec.TABLE_MARKER
                 tables.append(spec.pdf_table_cells(btexts))
+            elif any("Math" in fonts[i] for i in idxs):
+                label, btxt = "formula", spec.FORMULA_MARKER  # X5 marker
             else:
                 btxt = spec.merge_pdf_lines(btexts)
                 if median > 0 and float(so[sl].max()) >= heading_cut:

@@ -138,6 +138,11 @@ def _pdf_payload(rng: random.Random) -> str:
         for _ in range(rng.randint(1, 3)):
             lines.append(f"90,{y:.1f},9,Mono|{rng.choice(WORDS)} = {rng.randint(0, 99)}")
             y += 11
+        y += 40
+    if rng.random() < 0.2:  # formula block (Math font → [FORMULA] marker)
+        lines.append(
+            f"90,{y:.1f},11,CMU-Math|{rng.choice(WORDS)}^2 + {rng.randint(1, 9)}"
+        )
     rng.shuffle(lines)  # arrival order ≠ reading order → sort must fix it
     return "\n".join(lines)
 

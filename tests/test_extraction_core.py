@@ -59,6 +59,7 @@ def test_adversarial_equality():
     pdf_frag = [
         "72,40,10,Serif|hello world", "10,20,0,|empty size", "badline",
         "1,2,3,Mono|x = 1", "5.5,6.6,7.7,Serif-Bold|big title",
+        "8,9,10,CMU-Math|e^x + 1", "8,20,10,Math|a|b formula with pipe",
         "-1,-2,3,F|neg", "72,41,10,Serif|wrap-", "1,2,3,|a | b | c",
     ]
     cases = []
@@ -145,12 +146,16 @@ def test_pdf_table_and_code_labels():
             "72,40,10,Serif|a | b | c",
             "72,51,10,Serif|d | e | f",
             "72,140,9,Mono|x = 1",
+            "72,240,9,CMU-Math|E = mc^2",
         ]
     )
     g = golden.extract_turn(payload)
     labels = [s["label"] for s in g["spans"]]
-    assert "table" in labels and "code" in labels
+    assert "table" in labels and "code" in labels and "formula" in labels
     assert spec.TABLE_MARKER in g["clean_text"]
+    assert spec.FORMULA_MARKER in g["clean_text"]
+    # the formula's source text never leaks into clean_text (marker swap)
+    assert "mc^2" not in g["clean_text"]
 
 
 def test_plain_noise_strip_and_nfc():
