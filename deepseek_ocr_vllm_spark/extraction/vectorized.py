@@ -211,6 +211,8 @@ def _word_boxes_row(x, y, sz, contents, order) -> list[tuple]:
             words.extend(boxes(xl[i], yl[i], szl[i], contents[i]))
         return words
     arr = np.frombuffer(b, dtype=np.uint8)
+    if arr.size == 0:  # all-empty contents (unreachable via detect_kind,
+        return []      # which needs >=2 line records — guard direct calls)
     # Python re \S complement over ASCII: \t\n\v\f\r, \x1c-\x1f, space
     ws = ((arr == 32) | ((arr >= 9) & (arr <= 13))
           | ((arr >= 28) & (arr <= 31)))
