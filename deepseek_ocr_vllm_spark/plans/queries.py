@@ -431,7 +431,10 @@ def j9_semi_excluding_collisions(spark, sf_dir):
       UNION ALL
       SELECT st.c_custkey, s.s_suppkey, 2 AS pref
       FROM stage st JOIN supplier s
-        ON CAST(st.c_acctbal AS INTEGER) % 100 = s.s_suppkey % 100
+        -- TRUNC, not bare CAST: DuckDB CAST(decimal AS INTEGER) ROUNDS
+        -- while Spark's int cast TRUNCATES (bit at sf0.001 where the
+        -- pref-2 branch decides; invisible at sf0.01)
+        ON CAST(TRUNC(st.c_acctbal) AS INTEGER) % 100 = s.s_suppkey % 100
     )
     SELECT c_custkey, s_suppkey AS matched_suppkey FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
