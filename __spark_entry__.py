@@ -76,5 +76,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from deepseek_ocr_vllm_spark.plans import REGISTRY
+    from deepseek_ocr_vllm_spark.plans.queries import resolve_oracle
 
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: resolve_oracle(sql)
+        for name, (_fn, sql) in REGISTRY.items()
+        if sql is not None
+    }

@@ -193,7 +193,8 @@ def _extract_pdf(
             label, btxt = "table", spec.TABLE_MARKER
             tables.append(spec.pdf_table_cells(texts))  # X3 cell grid
         elif any("Math" in f for f in fonts):
-            label, btxt = "formula", spec.FORMULA_MARKER  # X5 docling marker
+            # X5 docling marker + content ('[FORMULA] $latex$', reference format)
+            label, btxt = "formula", spec.formula_block_text(spec.merge_pdf_lines(texts))
         elif median > 0 and max(sizes) >= spec.PDF_HEADING_FACTOR * median:
             label, btxt = "heading", spec.merge_pdf_lines(texts)
         elif any("Mono" in f for f in fonts):

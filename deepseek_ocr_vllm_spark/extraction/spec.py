@@ -66,6 +66,14 @@ TABLE_MARKER = "[TABLE]"
 # with [TABLE]/[FORMULA] markers, docling_granite_python/1/model.py:18-72);
 # a block set in a Math font is a formula, as Mono marks code
 FORMULA_MARKER = "[FORMULA]"
+
+
+def formula_block_text(merged: str) -> str:
+    """X5 formula emission keeps the source content: the reference emits
+    '[FORMULA] $latex$' (triton-models/docling_granite_python/1/model.py:51),
+    so the merged block text rides along after the marker, $-delimited.
+    An empty merge degrades to the bare marker."""
+    return f"{FORMULA_MARKER} ${merged}$" if merged else FORMULA_MARKER
 PDF_CHAR_ADVANCE = 0.6  # fixed-advance glyph model: advance ≈ 0.6 × size
 _PDF_WORD_RE = re.compile(r"\S+")
 

@@ -308,7 +308,8 @@ def _extract_pdf_rows(texts: list[str]) -> list[tuple[str, list, int, list, list
                 label, btxt = "table", spec.TABLE_MARKER
                 tables.append(spec.pdf_table_cells(btexts))
             elif any("Math" in fonts[i] for i in idxs):
-                label, btxt = "formula", spec.FORMULA_MARKER  # X5 marker
+                # X5 marker + content ('[FORMULA] $latex$', reference format)
+                label, btxt = "formula", spec.formula_block_text(spec.merge_pdf_lines(btexts))
             else:
                 btxt = spec.merge_pdf_lines(btexts)
                 if median > 0 and float(so[sl].max()) >= heading_cut:

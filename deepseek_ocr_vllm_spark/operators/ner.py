@@ -29,7 +29,12 @@ PATTERNS: list[tuple[str, re.Pattern, float]] = [
     ("IMO", re.compile(r"\bIMO\s?\d{7}\b"), 0.99),
     ("MMSI", re.compile(r"\bMMSI\s?\d{9}\b"), 0.95),
     ("YEAR", re.compile(r"\b(19|20)\d{2}\b"), 0.6),
-    ("MONEY", re.compile(r"\b\d+(?:\.\d+)?\s?(?:USD|EUR)\b"), 0.8),
+    # repetition is BOUNDED (20+1+10+1+3 = 35 chars max) so the chunk-edge
+    # invariant "every genuine match is shorter than CHUNK_OVERLAP" is
+    # enforced by the pattern itself, not assumed (an unbounded \d+ match
+    # of length >= CHUNK_OVERLAP touching a cut would be dropped in BOTH
+    # adjacent chunks)
+    ("MONEY", re.compile(r"\b\d{1,20}(?:\.\d{1,10})?\s?(?:USD|EUR)\b"), 0.8),
     ("TERM", re.compile(r"\b(?:vessel|spark|parquet|iceberg|shuffle)\b"), 0.5),
 ]
 

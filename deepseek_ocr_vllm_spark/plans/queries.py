@@ -23,16 +23,27 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
-# name -> (spark_fn, oracle_sql | None)
-REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+# name -> (spark_fn, oracle_sql | oracle_sql_builder | None). A CALLABLE
+# oracle is rebuilt at oracle_sql() call time — queries whose SQL embeds an
+# env knob (SPARK_GRAFT_MINHASH_*, *_DF caps) register a builder so flipping
+# the env in-process changes BOTH the Spark plan and the oracle, not just
+# one side (knobs frozen at import time were a round-2 defect).
+REGISTRY: dict[
+    str,
+    tuple[Callable[[SparkSession, str], DataFrame], str | Callable[[], str] | None],
+] = {}
 
 
-def q(name: str, sql: str | None):
+def q(name: str, sql: str | Callable[[], str] | None):
     def deco(fn):
         REGISTRY[name] = (fn, sql)
         return fn
 
     return deco
+
+
+def resolve_oracle(sql) -> str | None:
+    return sql() if callable(sql) else sql
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

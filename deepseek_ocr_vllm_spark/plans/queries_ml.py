@@ -14,6 +14,8 @@ Cross-engine hash-stability tricks used here:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -79,16 +81,23 @@ _SHINGLE_SQL_DUCK = """
 # of docs is boilerplate — it contributes no near-dup signal but its
 # equi-join bucket is O(df²) pairs (THE skew bomb at 100 TB). Dropped on
 # both engines, so the gate checks identical semantics.
-import os as _os
+#
+# ALL knobs here are read at QUERY-BUILD time (function call), never at
+# import: the oracle SQL strings that embed them are registered as
+# BUILDERS (callables) so an env flip in-process changes both sides.
 
-MAX_SHINGLE_DF_FRAC = float(_os.environ.get("SPARK_GRAFT_MAX_SHINGLE_DF", "0.25"))
 
-_SHINGLE_FILTERED_DUCK = f"""
+def _max_shingle_df_frac() -> float:
+    return float(os.environ.get("SPARK_GRAFT_MAX_SHINGLE_DF", "0.25"))
+
+
+def _shingle_filtered_duck() -> str:
+    return f"""
     ds_all AS (SELECT DISTINCT doc_id, shingle FROM sh),
     n_docs AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM ds_all),
     hot AS (
       SELECT shingle FROM ds_all GROUP BY shingle
-      HAVING COUNT(*) > (SELECT nd FROM n_docs) * {MAX_SHINGLE_DF_FRAC}
+      HAVING COUNT(*) > (SELECT nd FROM n_docs) * {_max_shingle_df_frac()}
     ),
     ds AS (
       SELECT doc_id, shingle FROM ds_all
@@ -123,9 +132,9 @@ def _shingles(spark, sf_dir, max_doc: int = 150):
 
 @q(
     "dd_ngram_jaccard",
-    f"""
+    lambda: f"""
     WITH sh AS ({_SHINGLE_SQL_DUCK}),
-    {_SHINGLE_FILTERED_DUCK},
+    {_shingle_filtered_duck()},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -155,7 +164,7 @@ def dd_ngram_jaccard(spark, sf_dir):
         ds_all.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(nd))
-        .filter(F.col("df") > F.col("nd") * MAX_SHINGLE_DF_FRAC)
+        .filter(F.col("df") > F.col("nd") * _max_shingle_df_frac())
         .select("shingle")
     )
     ds = ds_all.join(F.broadcast(hot), "shingle", "left_anti")
@@ -190,27 +199,31 @@ def dd_ngram_jaccard(spark, sf_dir):
 # bands) so the DuckDB oracle stays cheap; the 100-TB config is
 # SPARK_GRAFT_MINHASH_PERMS=128 ROWS_PER_BAND=8 (16 bands — band-collision
 # prob at jaccard .8 = 1-(1-.8^8)^16 ≈ .95, at .5 ≈ .06: a usable S-curve).
-# Both the Spark plan and the oracle SQL read the same knobs, so the gate
-# stays green at any setting.
-N_MINHASH = int(_os.environ.get("SPARK_GRAFT_MINHASH_PERMS", "6"))
-ROWS_PER_BAND = int(_os.environ.get("SPARK_GRAFT_MINHASH_ROWS_PER_BAND", "2"))
-N_BANDS = N_MINHASH // ROWS_PER_BAND
+# Both the Spark plan and the oracle SQL builder read the knobs at query
+# BUILD time, so the gate stays green at any setting and an in-process env
+# flip actually changes the plan.
 
 
-@q(
-    "dd_minhash_lsh",
-    f"""
+def _minhash_cfg() -> tuple[int, int]:
+    n = int(os.environ.get("SPARK_GRAFT_MINHASH_PERMS", "6"))
+    rpb = int(os.environ.get("SPARK_GRAFT_MINHASH_ROWS_PER_BAND", "2"))
+    return n, rpb
+
+
+def _minhash_oracle() -> str:
+    n_minhash, rows_per_band = _minhash_cfg()
+    return f"""
     WITH sh AS ({_SHINGLE_SQL_DUCK}),
     ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
     mh AS (
       SELECT doc_id, j, MIN(md5(shingle || ':' || CAST(j AS VARCHAR))) AS h
-      FROM ds CROSS JOIN range({N_MINHASH}) r(j)
+      FROM ds CROSS JOIN range({n_minhash}) r(j)
       GROUP BY doc_id, j
     ),
     bands AS (
-      SELECT doc_id, CAST(FLOOR(j / {ROWS_PER_BAND}) AS INTEGER) AS band_id,
+      SELECT doc_id, CAST(FLOOR(j / {rows_per_band}) AS INTEGER) AS band_id,
              string_agg(h, '|' ORDER BY j) AS band_key
-      FROM mh GROUP BY doc_id, CAST(FLOOR(j / {ROWS_PER_BAND}) AS INTEGER)
+      FROM mh GROUP BY doc_id, CAST(FLOOR(j / {rows_per_band}) AS INTEGER)
     ),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -235,8 +248,10 @@ N_BANDS = N_MINHASH // ROWS_PER_BAND
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200
-    """,
-)
+    """
+
+
+@q("dd_minhash_lsh", _minhash_oracle)
 def dd_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup, full candidates→VERIFY pipeline: shingle → K
     min-hashes (min over md5 strings: engine-portable 'permutations') →
@@ -244,11 +259,12 @@ def dd_minhash_lsh(spark, sf_dir):
     candidates only (broadcast the tiny candidate set against the shingle
     table — the corpus-sized side never self-joins). K and band width come
     from SPARK_GRAFT_MINHASH_* (toy 6/2 for the test oracle, 128/8 at
-    100 TB — see the knob comment above)."""
+    100 TB — see the knob comment above), read at build time."""
+    n_minhash, rows_per_band = _minhash_cfg()
     ds = _shingles(spark, sf_dir).distinct()
     mh = (
         ds.crossJoin(
-            spark.range(N_MINHASH).select(F.col("id").cast("int").alias("j"))
+            spark.range(n_minhash).select(F.col("id").cast("int").alias("j"))
         )
         .groupBy("doc_id", "j")
         .agg(
@@ -258,7 +274,7 @@ def dd_minhash_lsh(spark, sf_dir):
         )
     )
     bands = (
-        mh.withColumn("band_id", (F.col("j") / ROWS_PER_BAND).cast("int"))
+        mh.withColumn("band_id", (F.col("j") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band_id")
         .agg(
             F.array_join(F.array_sort(F.collect_list(F.struct("j", "h"))).h, "|")
@@ -397,10 +413,70 @@ _DOT_DECIMAL = """
 """
 
 
-@q(
-    "dd_embed_cosine",
-    f"""
+# dd_embed_cosine scale knobs (read at build time, mirrored in the oracle
+# builder):
+#   SPARK_GRAFT_MAX_CELL_POP — hot-cell guard. A skewed quantizer cell with
+#     m vectors materializes m²/2 within-cell pairs (the embedding-space
+#     analogue of the hot-shingle skew bomb), so cells above this
+#     population are SUB-SPLIT: n_sub = ceil(pop / cap) subcells keyed by
+#     vec_id % n_sub (engine-portable secondary hash — at 100 TB use any
+#     stable id hash), bounding every join bucket to ~cap vectors. The
+#     recall inside an oversized cell drops to ~1/n_sub of its pairs — the
+#     same deliberate recall-for-survival trade the shingle DF cap makes.
+#   SPARK_GRAFT_EMBED_PROBES — multiprobe width. Each vector is assigned to
+#     its home cell (label) PLUS its (probes-1) nearest OTHER centroids by
+#     the decimal-quantized dot score, recovering near-dup pairs that
+#     straddle a cell boundary. Pairs found in two shared cells dedup via
+#     DISTINCT.
+
+
+def _max_cell_pop() -> int:
+    return int(os.environ.get("SPARK_GRAFT_MAX_CELL_POP", "500"))
+
+
+def _embed_probes() -> int:
+    return int(os.environ.get("SPARK_GRAFT_EMBED_PROBES", "2"))
+
+
+def _embed_cosine_oracle() -> str:
+    return f"""
     WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 200),
+    cent AS (
+      SELECT label AS cell, i.i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(18,9)))
+                  AS DOUBLE) / COUNT(*) AS c
+      FROM e CROSS JOIN range(1, 65) i(i) GROUP BY label, i.i
+    ),
+    vscore AS (
+      SELECT v.vec_id, v.label, c.cell,
+             CAST(SUM(CAST(CAST(v.embedding[c.pos] AS DOUBLE) * c.c
+                           AS DECIMAL(18,9))) AS DOUBLE) AS score
+      FROM e v CROSS JOIN cent c GROUP BY v.vec_id, v.label, c.cell
+    ),
+    probe AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cell) AS rk
+        FROM vscore WHERE cell <> label
+      ) WHERE rk <= {_embed_probes() - 1}
+    ),
+    asg AS (
+      SELECT vec_id, label AS cell FROM e
+      UNION ALL SELECT vec_id, cell FROM probe
+    ),
+    pop AS (SELECT cell, COUNT(*) AS cnt FROM asg GROUP BY cell),
+    asg2 AS (
+      SELECT a.vec_id, a.cell,
+             a.vec_id % CAST(CEIL(p.cnt / {float(_max_cell_pop())}) AS BIGINT)
+               AS sub
+      FROM asg a JOIN pop p ON p.cell = a.cell
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM asg2 a JOIN asg2 b
+        ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+    ),
     norms AS (
       SELECT vec_id,
              sqrt(CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE)
@@ -409,27 +485,115 @@ _DOT_DECIMAL = """
       FROM e CROSS JOIN range(1, 65) i(i) GROUP BY vec_id
     ),
     dots AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_DOT_DECIMAL} AS dot
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      SELECT p.vec_a, p.vec_b, {_DOT_DECIMAL} AS dot
+      FROM pairs p
+      JOIN e a ON a.vec_id = p.vec_a
+      JOIN e b ON b.vec_id = p.vec_b
       CROSS JOIN range(1, 65) i(i)
-      GROUP BY a.vec_id, b.vec_id
+      GROUP BY p.vec_a, p.vec_b
     )
     SELECT vec_a, vec_b, ROUND(dot / na.nrm / nb.nrm, 6) AS cosine
     FROM dots JOIN norms na ON na.vec_id = vec_a
               JOIN norms nb ON nb.vec_id = vec_b
     WHERE dot / na.nrm / nb.nrm >= 0.35
     ORDER BY cosine DESC, vec_a, vec_b LIMIT 200
-    """,
-)
+    """
+
+
+def _embed_blocked_pairs(e, max_cell_pop: int, probes: int):
+    """Candidate-pair generation for dd_embed_cosine: multiprobe cell
+    assignment + hot-cell sub-split, all equi-joins. Returns a DataFrame
+    (vec_a, vec_b) of DISTINCT candidate pairs. Factored out so the
+    skewed-cell test can assert the pair-count bound directly."""
+    ex = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        ex.groupBy(F.col("label").alias("cell"), F.col("pos"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(18,9)"))
+                .cast("double") / F.count("*")
+            ).alias("c")
+        )
+    )
+    vscore = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "cell")
+        .agg(
+            F.sum((F.col("v").cast("double") * F.col("c")).cast("decimal(18,9)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    probe = (
+        vscore.filter(F.col("cell") != F.col("label"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("score"), "cell")
+            ),
+        )
+        .filter(F.col("rk") <= probes - 1)
+        .select("vec_id", "cell")
+    )
+    asg = e.select("vec_id", F.col("label").alias("cell")).unionByName(probe)
+    pop = asg.groupBy("cell").agg(F.count("*").alias("cnt"))
+    asg2 = asg.join(F.broadcast(pop), "cell").select(
+        "vec_id",
+        "cell",
+        (
+            F.col("vec_id")
+            % F.ceil(F.col("cnt") / F.lit(float(max_cell_pop))).cast("long")
+        ).alias("sub"),
+    )
+    a = asg2.alias("a")
+    b = asg2.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+
+
+def embed_pairs_unlabeled(emb, max_cell_pop: int | None = None,
+                          probes: int | None = None,
+                          k: int = 8, n_iter: int = 5):
+    """Unlabeled-corpus path for embed-cosine blocking (VERDICT r2 #3):
+    when no quantizer cell column exists, train the k-means coarse
+    quantizer (operators/ann.train_kmeans — deterministic decimal fold),
+    assign each vector its learned cell, and run the same multiprobe +
+    hot-cell-capped pair generation. Returns (vec_a, vec_b) candidates."""
+    from ..operators.ann import assign_cells, train_kmeans
+
+    cents, _inertia = train_kmeans(emb, k=k, n_iter=n_iter)
+    labeled = (
+        assign_cells(emb, cents)
+        .withColumn("label", F.col("cell").cast("string"))
+        .drop("cell")
+    )
+    return _embed_blocked_pairs(
+        labeled,
+        _max_cell_pop() if max_cell_pop is None else max_cell_pop,
+        _embed_probes() if probes is None else probes,
+    )
+
+
+@q("dd_embed_cosine", _embed_cosine_oracle)
 def dd_embed_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, CANDIDATE-BLOCKED by the coarse
-    quantizer cell (`label` — the same per-label centroid cells
-    sim_ivf_topk probes): pairs are generated by an EQUI-join on label, so
-    pair generation shuffles on the block key instead of materializing all
-    O(n²) pairs. Cross-cell recall loss is the standard IVF tradeoff
-    (near-dups land in the same cell by construction of the quantizer;
-    multiprobe = also join each vector to its 2nd-nearest cell). The
-    oracle blocks identically, so the gate checks the same semantics.
+    quantizer cell with MULTIPROBE and a HOT-CELL GUARD (see
+    _embed_blocked_pairs): each vector joins its home cell (label) plus its
+    (probes-1) nearest other centroids — recovering boundary-straddling
+    near-dups — and any cell above MAX_CELL_POP is sub-split by a secondary
+    hash so no join bucket ever materializes an unbounded m²/2 pairs. Pair
+    generation stays pure equi-joins shuffling on (cell, sub). The oracle
+    blocks identically, so the gate checks the same semantics.
 
     Elementwise products quantized to DECIMAL(18,9) before the sum →
     order-independent, bit-identical across engines; a vectorized numpy
@@ -465,19 +629,11 @@ def dd_embed_cosine(spark, sf_dir):
     norms = e.select(
         "vec_id", F.sqrt(dot_dec(F.col("embedding"), F.col("embedding"))).alias("nrm")
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    # equi-join on the block key (label); the vec_id inequality is a
-    # post-join filter on the sort-merge join, not a nested loop
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.col("a.embedding").alias("ea"),
-        F.col("b.embedding").alias("eb"),
+    ids = _embed_blocked_pairs(e, _max_cell_pop(), _embed_probes())
+    ea_df = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb_df = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = ids.join(ea_df, "vec_a").join(eb_df, "vec_b").select(
+        "vec_a", "vec_b", "ea", "eb"
     )
     dotted = pairs.mapInPandas(
         np_dot,

@@ -731,9 +731,34 @@ def x7_ner_label_counts(spark, sf_dir):
     )
 
 
-@q(
-    "t5_fuzzy_trigram_search",
-    """
+def trigram_grams(name_col: str):
+    """Distinct char trigrams of a name column, exploded one per row.
+
+    sequence(1, 0) in Spark auto-steps DOWN to [1, 0] — for names shorter
+    than 3 chars that would emit bogus short grams while the DuckDB
+    range(1, length-1) is empty. greatest(...,1) + the length(g)=3 filter
+    makes sub-trigram names yield NO grams on both engines (substring past
+    the end returns the short tail)."""
+    return F.explode(F.expr(
+        f"array_distinct(filter(transform("
+        f"sequence(1, greatest(length({name_col}) - 2, 1)), "
+        f"i -> substring({name_col}, i, 3)), g -> length(g) = 3))"
+    )).alias("g")
+
+
+def _max_gram_df_frac() -> float:
+    """Hot-gram document-frequency cap for t5 (same skew guard as
+    MAX_SHINGLE_DF: a gram in more than this fraction of target names is
+    boilerplate — 'sup'/'upp'/… appear in EVERY supplier name — whose
+    equi-join bucket is O(df²); dropping it on both engines keeps the
+    gate green and the discriminative digit grams carry the match)."""
+    import os
+
+    return float(os.environ.get("SPARK_GRAFT_MAX_GRAM_DF", "0.5"))
+
+
+def _t5_oracle() -> str:
+    return f"""
     WITH probes AS (
       SELECT s_suppkey AS probe_key,
              'Süpplìer# ' || substr(s_name, 10) AS probe_raw
@@ -742,16 +767,23 @@ def x7_ner_label_counts(spark, sf_dir):
     pn AS (SELECT probe_key, lower(strip_accents(probe_raw)) AS pname
            FROM probes),
     tn AS (SELECT s_suppkey, lower(s_name) AS tname FROM supplier),
-    pg AS (
+    pg_all AS (
       SELECT probe_key, unnest(list_distinct(list_transform(
                range(1, length(pname) - 1), i -> substr(pname, i, 3)))) AS g
       FROM pn
     ),
-    tg AS (
+    tg_all AS (
       SELECT s_suppkey, unnest(list_distinct(list_transform(
                range(1, length(tname) - 1), i -> substr(tname, i, 3)))) AS g
       FROM tn
     ),
+    nn AS (SELECT COUNT(DISTINCT s_suppkey) AS n FROM tg_all),
+    hot AS (
+      SELECT g FROM tg_all GROUP BY g
+      HAVING COUNT(*) > (SELECT n FROM nn) * {_max_gram_df_frac()}
+    ),
+    pg AS (SELECT probe_key, g FROM pg_all WHERE g NOT IN (SELECT g FROM hot)),
+    tg AS (SELECT s_suppkey, g FROM tg_all WHERE g NOT IN (SELECT g FROM hot)),
     psz AS (SELECT probe_key, COUNT(*) AS np FROM pg GROUP BY 1),
     tsz AS (SELECT s_suppkey, COUNT(*) AS nt FROM tg GROUP BY 1),
     inter AS (
@@ -769,16 +801,21 @@ def x7_ner_label_counts(spark, sf_dir):
     )
     SELECT probe_key, s_suppkey AS matched_suppkey, ROUND(sim, 6) AS sim
     FROM scored WHERE rk = 1 ORDER BY probe_key
-    """,
-)
+    """
+
+
+@q("t5_fuzzy_trigram_search", _t5_oracle)
 def t5_fuzzy_trigram_search(spark, sf_dir):
     """T5 fuzzy entity search (sql/vessels_lookup.sql:6-43: unaccent +
     pg_trgm similarity): accent-stripped lowercase names → distinct char
-    trigrams → candidate pairs from a trigram EQUI-join (never an all-pairs
-    scan) → Jaccard score → best match per probe. Probes are deterministic
-    accented/typo'd supplier-name variants built identically in the oracle.
-    100-TB shape: the gram join shuffles on the gram hash and the tiny
-    probe side broadcasts; drop ultra-frequent grams upstream for skew."""
+    trigrams → HOT-GRAM DF CAP (grams in > MAX_GRAM_DF of target names are
+    dropped on both engines — the boilerplate 'supplier#' grams whose join
+    buckets are O(df²) at scale) → candidate pairs from a trigram EQUI-join
+    (never an all-pairs scan) → Jaccard over the FILTERED gram sets → best
+    match per probe. Probes are deterministic accented/typo'd supplier-name
+    variants built identically in the oracle. 100-TB shape: the gram join
+    shuffles on the gram hash; the tiny probe side and hot-gram set
+    broadcast."""
     from ..functions.strings import strip_accents_sql
 
     sup = t(spark, sf_dir, "supplier")
@@ -792,14 +829,20 @@ def t5_fuzzy_trigram_search(spark, sf_dir):
     )
     tn = sup.select("s_suppkey", F.lower("s_name").alias("tname"))
 
-    def grams(name_col: str):
-        return F.explode(F.expr(
-            f"array_distinct(transform(sequence(1, length({name_col}) - 2), "
-            f"i -> substring({name_col}, i, 3)))"
-        )).alias("g")
-
-    pg = pn.select("probe_key", grams("pname"))
-    tg = tn.select("s_suppkey", grams("tname"))
+    tg_all = tn.select("s_suppkey", trigram_grams("tname"))
+    nn = tg_all.agg(F.countDistinct("s_suppkey").alias("n"))
+    hot = (
+        tg_all.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("df") > F.col("n") * _max_gram_df_frac())
+        .select("g")
+    )
+    pg = (
+        pn.select("probe_key", trigram_grams("pname"))
+        .join(F.broadcast(hot), "g", "left_anti")
+    )
+    tg = tg_all.join(F.broadcast(hot), "g", "left_anti")
     psz = pg.groupBy("probe_key").agg(F.count("*").alias("np"))
     tsz = tg.groupBy("s_suppkey").agg(F.count("*").alias("nt"))
     inter = (

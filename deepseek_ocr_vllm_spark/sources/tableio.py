@@ -42,6 +42,15 @@ def hadoop_fs(spark: SparkSession, path: str):
 
 
 def read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    # Heal the _swap crash window for READERS too: a crash between
+    # rename-away and rename-in leaves `path` absent until the next upsert
+    # runs _recover_swap — without this, read-only consumers see 'no table'
+    # and never trigger healing. Only the path-missing window is healed
+    # here (leftover cleanup stays at upsert entry); the emulation assumes
+    # no reader races an IN-FLIGHT writer (single-writer / reader-after-
+    # writer — the Iceberg path has real snapshot isolation instead).
+    if "://" not in path and not os.path.exists(path):
+        _recover_swap(path)
     fs, p = hadoop_fs(spark, path)
     if not fs.exists(p):
         return None

@@ -368,3 +368,25 @@ def test_iceberg_merge_path_sql_and_gate(spark):
     with _pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
         tableio.iceberg_upsert_with_history(
             spark, df, "db.vessels", ["id"], ["name", "flag"])
+
+
+def test_reader_heals_swap_crash_window(spark, tmp_path):
+    """ADVICE: a crash between rename-away and rename-in must be healed by
+    read-only consumers too — read_or_none restores the prior snapshot
+    instead of reporting 'no table' until the next upsert."""
+    import os
+
+    from deepseek_ocr_vllm_spark.sources.tableio import (
+        read_or_none, upsert_with_history)
+
+    path = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(1, "A"), (2, "B")], ["id", "name"])
+    upsert_with_history(spark, v1, path, ["id"], ["name"])
+    os.rename(path, path + "_old")
+    os.makedirs(path + "_v2")  # uncommitted junk snapshot
+    df = read_or_none(spark, path)
+    assert df is not None
+    assert {r.id for r in df.collect()} == {1, 2}
+    assert os.path.exists(path)
+    assert not os.path.exists(path + "_old")
+    assert not os.path.exists(path + "_v2")

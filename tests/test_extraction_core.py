@@ -153,9 +153,9 @@ def test_pdf_table_and_code_labels():
     labels = [s["label"] for s in g["spans"]]
     assert "table" in labels and "code" in labels and "formula" in labels
     assert spec.TABLE_MARKER in g["clean_text"]
-    assert spec.FORMULA_MARKER in g["clean_text"]
-    # the formula's source text never leaks into clean_text (marker swap)
-    assert "mc^2" not in g["clean_text"]
+    # formula content is KEPT after the marker, $-delimited (reference
+    # format '[FORMULA] $latex$', docling_granite_python/1/model.py:51)
+    assert spec.FORMULA_MARKER + " $E = mc^2$" in g["clean_text"]
 
 
 def test_plain_noise_strip_and_nfc():

@@ -164,3 +164,27 @@ def test_binary_scan_and_manifest(spark, tmp_path):
            for line in f.read_text().splitlines()]
     assert len(man) == 2
     assert sum(1 for m in man if m["failed"]) == 1  # b.pdf under 20 bytes
+
+
+def test_money_bounded_across_chunk_cut():
+    """ADVICE: MONEY's repetition is bounded so every genuine match is
+    shorter than CHUNK_OVERLAP — a max-length money straddling the first
+    chunk cut must be re-found intact via the overlap scan, not dropped
+    in both adjacent chunks."""
+    money = "12345678901234567890.1234567890 USD"  # 35 chars = max match
+    head = "a " * ((CHUNK_SIZE - 10) // 2)  # cut lands 10 chars into money
+    text = head + money + " tail"
+    assert len(head) < CHUNK_SIZE < len(head) + len(money)
+    rows = [r for r in extract_spans_text(9, text) if r[2] == "MONEY"]
+    assert [r[5] for r in rows] == [money]
+    start = rows[0][3]
+    assert text[start:start + len(money)] == money
+
+
+def test_money_overlong_digit_run_never_matches():
+    """A digit run longer than the bound has no \\b inside it, so neither
+    a full nor a partial MONEY match exists — identical semantics to the
+    RE2 oracle that runs the same pattern."""
+    text = "pay " + "9" * 25 + " USD now, but 42 EUR is fine"
+    got = [r[5] for r in extract_spans_text(1, text) if r[2] == "MONEY"]
+    assert got == ["42 EUR"]

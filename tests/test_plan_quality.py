@@ -33,8 +33,11 @@ EXECUTES_ON_BUILD = {
 # residual `<` comparisons ride on an equi join. dd_embed_cosine and
 # dd_simhash were removed in round 2: candidate generation is now blocked
 # (label-cell equi-join / pigeonhole band equi-join) — no nested loop left.
+# t5 joined in round 3: its hot-gram DF cap broadcasts the 1-row distinct
+# name count (same shape as dd_ngram_jaccard's hot-shingle guard); the
+# candidate generation itself stays a gram equi-join.
 NESTED_LOOP_OK = {
-    "dd_ngram_jaccard", "dd_minhash_lsh",
+    "dd_ngram_jaccard", "dd_minhash_lsh", "t5_fuzzy_trigram_search",
     "sim_topk_bruteforce", "sim_ivf_topk", "a12_monotonic_id_allocation",
     "j8_expected_columns_anti", "tx_fingerprint",
 }

@@ -132,8 +132,11 @@ def main() -> int:
 
     names = args.names or list(REGISTRY)
     n_fail = 0
+    from deepseek_ocr_vllm_spark.plans.queries import resolve_oracle
+
     for name in names:
         fn, sql = REGISTRY[name]
+        sql = resolve_oracle(sql)
         t0 = time.time()
         try:
             sdf = fn(spark, args.sf)
