@@ -1,0 +1,407 @@
+"""Real ``%PDF-`` byte parsing → the engine's text-encoded layout records.
+
+Closes the X1/X2 upstream seam (round-2 "What's missing" #1): the binary
+scan previously decoded payloads as UTF-8 and a genuine PDF binary would
+not extract. This module parses the actual PDF wire format with the
+stdlib only — the same fields pdfplumber feeds the reference
+(scripts/pdf_extract.py:48-85: per-word text with x/y positions, font,
+size) — and emits ``x,y,size,font|content`` records that flow through the
+UNCHANGED golden/vectorized layout pipeline (block segmentation, reading
+order, word boxes, table grids).
+
+Wire-format subset covered (enough for text-layer extraction of
+generator-produced PDFs; scanned/image PDFs have no text layer and need
+OCR — the reference's vLLM path — by design):
+  * sequential object scan (no xref needed — works on linearized,
+    incremental and stream-damaged files alike)
+  * content streams raw or /FlateDecode (zlib), via decompressobj so
+    trailing EOL bytes before ``endstream`` don't poison the inflate
+  * page objects with /MediaBox origin flip (PDF y grows UP, the layout
+    records' y grows DOWN), direct or referenced /Resources /Font dicts
+    mapped to /BaseFont names (so Bold/Mono/Math font-family detection
+    downstream keeps working)
+  * BT/ET text blocks with Tf, Td, TD, TL, T*, Tm, Tj, ', " and TJ
+    (kerning gaps below ``TJ_WORD_GAP`` become word spaces, like
+    pdfplumber's use_text_flow word splitting)
+  * () strings with \\-escapes, octal escapes and nested parens; <hex>
+    strings
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+_BASEFONT_RE = re.compile(rb"/BaseFont\s*/([^\s/<>\[\]()]+)")
+_FONTREF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)"
+)
+
+# a TJ kerning adjustment more negative than this (in text-space
+# thousandths) is a word gap, not letter kerning
+TJ_WORD_GAP = -180.0
+
+_ESC = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C,
+        0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+
+_NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
+_NAME_RE = re.compile(rb"/([^\s/\[\]()<>{}%]*)")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _tokens(s: bytes):
+    """Content-stream tokenizer: ('num'|'str'|'name'|'op'|'[') items."""
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in b" \t\r\n\x00\x0c":
+            i += 1
+            continue
+        if c == 0x25:  # % comment to EOL
+            j = s.find(b"\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == 0x28:  # ( literal string
+            i += 1
+            depth, out = 1, bytearray()
+            while i < n and depth:
+                ch = s[i]
+                if ch == 0x5C and i + 1 < n:
+                    e = s[i + 1]
+                    if e in _ESC:
+                        out.append(_ESC[e])
+                        i += 2
+                    elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                        j = i + 1
+                        while j < min(i + 4, n) and 0x30 <= s[j] <= 0x37:
+                            j += 1
+                        out.append(int(s[i + 1:j], 8) & 0xFF)
+                        i = j
+                    else:  # line continuation / unknown escape
+                        i += 2
+                    continue
+                if ch == 0x28:
+                    depth += 1
+                    out.append(ch)
+                elif ch == 0x29:
+                    depth -= 1
+                    if depth:
+                        out.append(ch)
+                else:
+                    out.append(ch)
+                i += 1
+            yield ("str", bytes(out))
+            continue
+        if c == 0x3C and s[i + 1:i + 2] == b"<":  # << dict (BDC etc.)
+            i += 2
+            continue
+        if c == 0x3E and s[i + 1:i + 2] == b">":
+            i += 2
+            continue
+        if c == 0x3C:  # <hex string>
+            j = s.find(b">", i)
+            if j < 0:
+                break
+            hx = re.sub(rb"\s", b"", s[i + 1:j])
+            if len(hx) % 2:
+                hx += b"0"
+            yield ("str", bytes.fromhex(hx.decode("ascii", "ignore")))
+            i = j + 1
+            continue
+        if c == 0x5B:
+            yield ("[", None)
+            i += 1
+            continue
+        if c == 0x5D:
+            yield ("]", None)
+            i += 1
+            continue
+        if c == 0x2F:
+            m = _NAME_RE.match(s, i)
+            yield ("name", m.group(1).decode("latin-1"))
+            i = m.end()
+            continue
+        m = _NUM_RE.match(s, i)
+        if m:
+            yield ("num", float(m.group(0)))
+            i = m.end()
+            continue
+        m = _OP_RE.match(s, i)
+        if m:
+            yield ("op", m.group(0).decode("latin-1"))
+            i = m.end()
+            continue
+        i += 1  # unknown byte
+
+
+def _fmt(v: float) -> str:
+    """Coordinate formatting the PDF_LINE_RE record grammar accepts."""
+    r = round(v, 3)
+    return f"{int(r)}" if r == int(r) else f"{r:.3f}".rstrip("0")
+
+
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _u16(hexs: bytes) -> str:
+    try:
+        return bytes.fromhex(hexs.decode("ascii")).decode(
+            "utf-16-be", "ignore")
+    except ValueError:
+        return ""
+
+
+def parse_tounicode(raw: bytes) -> tuple[dict[int, str], int]:
+    """Parse a /ToUnicode CMap stream (bfchar + bfrange incl. the array
+    form) → (code→text map, code width in bytes). Subset fonts remap glyph
+    codes away from Unicode — without this, text from e.g. the reference's
+    SEAFO vessel-list PDF comes out Caesar-shifted garbage."""
+    cmap: dict[int, str] = {}
+    width = 1
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", raw, re.S):
+        for src, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            cmap[int(src, 16)] = _u16(dst)
+            width = max(width, len(src) // 2)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", raw, re.S):
+        body = m.group(1)
+        for lo, hi, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                body):
+            lo_i, hi_i, base = int(lo, 16), int(hi, 16), int(dst, 16)
+            width = max(width, len(lo) // 2)
+            for c in range(lo_i, min(hi_i, lo_i + 65535) + 1):
+                cmap[c] = chr(base + (c - lo_i))
+        for lo, arr_body in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<[0-9A-Fa-f]+>\s*\[(.*?)\]", body, re.S):
+            width = max(width, len(lo) // 2)
+            for j, dm in enumerate(_HEXPAIR_RE.finditer(arr_body)):
+                cmap[int(lo, 16) + j] = _u16(dm.group(1))
+    return cmap, width
+
+
+def _decode_text(raw: bytes, font: dict) -> str:
+    cmap = font.get("cmap")
+    if cmap:
+        w = font.get("w", 1)
+        if w == 2 and len(raw) % 2:
+            raw = raw[:-1]
+        codes = (
+            (int.from_bytes(raw[i:i + 2], "big") for i in range(0, len(raw), 2))
+            if w == 2 else iter(raw)
+        )
+        s = "".join(cmap.get(c, "") for c in codes)
+    else:
+        s = raw.decode("latin-1")
+    # record grammar is line-based: control chars would split/garble records
+    return re.sub(r"[\x00-\x1f]", " ", s)
+
+
+_DEFAULT_FONT = {"name": "Unknown", "cmap": None, "w": 1}
+
+# average glyph advance as a fraction of font size, for merging
+# individually-positioned show ops back into lines (spreadsheet exporters
+# emit one Tj PER GLYPH; without coalescing that reads "w w w")
+_ADV = 0.5
+
+
+def _page_records(content: bytes, fonts: dict[str, dict],
+                  page_h: float) -> list[str]:
+    recs: list[str] = []
+    font, font_size, scale, leading = _DEFAULT_FONT, 10.0, 1.0, 12.0
+    lx = ly = 0.0  # text-line origin (Td is relative to it)
+    x = y = 0.0
+    stack: list[tuple] = []
+    arr: list[tuple] | None = None
+    pend: list | None = None  # [x, y, size, font_name, text] being built
+
+    def flush() -> None:
+        nonlocal pend
+        if pend and pend[4].strip():
+            recs.append(
+                f"{_fmt(pend[0])},{_fmt(page_h - pend[1])},"
+                f"{_fmt(pend[2])},{pend[3]}|{pend[4]}"
+            )
+        pend = None
+
+    def emit(raw: bytes) -> None:
+        nonlocal pend
+        txt = _decode_text(raw, font)
+        if not txt:
+            return
+        size = font_size * abs(scale) or font_size
+        if pend is not None and abs(pend[1] - y) < 0.1 and pend[3] == font["name"]:
+            # same baseline + font: estimate where the pending run ends and
+            # join (gap < glyph width → same word; < 2 em → word gap)
+            est_end = pend[0] + _ADV * pend[2] * len(pend[4])
+            gap = x - est_end
+            if -1.5 * size < gap < 0.3 * size:
+                pend[4] += txt
+                return
+            if 0.3 * size <= gap < 2.5 * size:
+                pend[4] += " " + txt
+                return
+        flush()
+        pend = [x, y, size, font["name"], txt]
+
+    for kind, val in _tokens(content):
+        if kind in ("num", "str", "name"):
+            (arr if arr is not None else stack).append((kind, val))
+            continue
+        if kind == "[":
+            arr = []
+            continue
+        if kind == "]":
+            stack.append(("arr", arr))
+            arr = None
+            continue
+        op = val
+        try:
+            if op == "Tf" and len(stack) >= 2:
+                fid = str(stack[-2][1])
+                font = fonts.get(fid) or dict(_DEFAULT_FONT, name=fid)
+                font_size = float(stack[-1][1])
+            elif op == "TL" and stack:
+                leading = float(stack[-1][1])
+            elif op in ("Td", "TD") and len(stack) >= 2:
+                tx, ty = float(stack[-2][1]), float(stack[-1][1])
+                lx, ly = lx + tx, ly + ty
+                x, y = lx, ly
+                if op == "TD":
+                    leading = -ty
+            elif op == "Tm" and len(stack) >= 6:
+                scale = float(stack[-3][1])  # d: vertical text scale
+                lx, ly = float(stack[-2][1]), float(stack[-1][1])
+                x, y = lx, ly
+            elif op == "T*":
+                ly -= leading
+                x, y = lx, ly
+            elif op == "BT":
+                lx = ly = x = y = 0.0
+                scale = 1.0
+            elif op in ("Tj", "'", '"'):
+                if op in ("'", '"'):
+                    ly -= leading
+                    x, y = lx, ly
+                if stack and stack[-1][0] == "str":
+                    emit(stack[-1][1])
+            elif op == "TJ" and stack and stack[-1][0] == "arr":
+                parts: list[bytes] = []
+                for k2, v2 in stack[-1][1]:
+                    if k2 == "str":
+                        parts.append(v2)
+                    elif k2 == "num" and v2 < TJ_WORD_GAP:
+                        parts.append(b" ")
+                emit(b"".join(parts))
+        except (TypeError, ValueError):
+            pass  # malformed operand run — skip the operator, keep parsing
+        stack.clear()
+    flush()
+    return recs
+
+
+def _object_stream(body: bytes) -> bytes | None:
+    m = _STREAM_RE.search(body)
+    if not m:
+        return None
+    raw = m.group(1)
+    if re.search(rb"/Filter\s*/FlateDecode\b", body):
+        try:
+            # decompressobj tolerates the EOL bytes PDF writers leave
+            # between the deflate data and ``endstream``
+            return zlib.decompressobj().decompress(raw)
+        except zlib.error:
+            return None
+    return raw
+
+
+def _expand_objstms(objs: dict[int, bytes]) -> None:
+    """PDF 1.5+ compressed object streams (/Type /ObjStm): page, font and
+    resource dicts often live INSIDE a FlateDecode stream of packed
+    objects (docbook/fop output does this) — inflate each, read the
+    '/N pairs /First offset' header, and splice the contained objects into
+    the table. Content streams can't be packed (spec forbids streams in
+    ObjStm), so they are always found by the plain scan."""
+    for num in list(objs):
+        body = objs[num]
+        if not re.search(rb"/Type\s*/ObjStm\b", body):
+            continue
+        raw = _object_stream(body)
+        m_n = re.search(rb"/N\s+(\d+)", body)
+        m_f = re.search(rb"/First\s+(\d+)", body)
+        if raw is None or not (m_n and m_f):
+            continue
+        n, first = int(m_n.group(1)), int(m_f.group(1))
+        header = raw[:first].split()
+        if len(header) < 2 * n:
+            continue
+        nums = [int(v) for v in header[0:2 * n:2]]
+        offs = [int(v) for v in header[1:2 * n:2]]
+        for i, (onum, off) in enumerate(zip(nums, offs)):
+            end = first + (offs[i + 1] if i + 1 < len(offs) else
+                           len(raw) - first)
+            objs.setdefault(onum, raw[first + off:end])
+
+
+def pdf_bytes_to_layout_records(data: bytes) -> str | None:
+    """Parse real PDF bytes into layout records, or None if ``data`` does
+    not carry the PDF magic (callers fall back to text decode)."""
+    if not data.startswith(b"%PDF-"):
+        return None
+    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    _expand_objstms(objs)
+    recs: list[str] = []
+    page_off = 0.0  # stack pages vertically so reading order spans pages
+    for num in sorted(objs):
+        body = objs[num]
+        if not re.search(rb"/Type\s*/Page\b", body):
+            continue
+        mb = _MEDIABOX_RE.search(body) or _MEDIABOX_RE.search(data)
+        page_h = float(mb.group(4)) if mb else 792.0
+
+        res = body
+        rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", body)
+        if rm and int(rm.group(1)) in objs:
+            res = objs[int(rm.group(1))]
+        fonts: dict[str, dict] = {}
+        fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
+        if fm:
+            for fid, onum in _FONTREF_RE.findall(fm.group(1)):
+                fbody = objs.get(int(onum), b"")
+                bf = _BASEFONT_RE.search(fbody)
+                name = (bf.group(1).decode("latin-1") if bf
+                        else fid.decode("latin-1"))
+                cmap, w = None, 1
+                tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody)
+                if tu:
+                    turaw = _object_stream(objs.get(int(tu.group(1)), b""))
+                    if turaw:
+                        cmap, w = parse_tounicode(turaw)
+                if re.search(rb"/Subtype\s*/Type0\b", fbody):
+                    w = 2  # composite font: 2-byte CIDs regardless of CMap
+                fonts[fid.decode("latin-1")] = {
+                    "name": name, "cmap": cmap or None, "w": w,
+                }
+
+        cm = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", body)
+        if not cm:
+            continue
+        content = b""
+        for r in re.findall(rb"(\d+)\s+\d+\s+R", cm.group(1)):
+            raw = _object_stream(objs.get(int(r), b""))
+            if raw:
+                content += raw + b"\n"
+        page = _page_records(content, fonts, page_h)
+        if page_off:
+            # shift this page's y by the cumulative prior page height
+            shifted = []
+            for rec in page:
+                x_s, y_s, rest = rec.split(",", 2)
+                shifted.append(f"{x_s},{_fmt(float(y_s) + page_off)},{rest}")
+            page = shifted
+        recs.extend(page)
+        page_off += page_h
+    return "\n".join(recs)

@@ -32,19 +32,35 @@ def read_binary_docs(spark: SparkSession, path: str,
 def extract_binary_docs(spark: SparkSession, path: str,
                         glob: str = "*.pdf") -> DataFrame:
     """S1 → X1 end-to-end: the binaryFile scan FEEDS the extraction
-    operator. Payload bytes are decoded as UTF-8 text (this corpus stores
-    text-encoded HTML/PDF-layout payloads; real PDF binaries would swap the
-    decode for a pdfplumber parse inside the same Arrow batch — the library
-    is absent in this container, so the byte→text seam is the documented
-    gate) and every file flows through the same whole-batch mapInArrow
+    operator. REAL ``%PDF-`` binaries are parsed by the stdlib wire-format
+    parser (extraction/pdfbytes.py: object scan, FlateDecode streams,
+    BT/ET text operators → layout records — the round-2 gap where a real
+    PDF payload would not extract); anything else is decoded as UTF-8
+    (text-encoded HTML/PDF-layout payloads). Both run whole-batch inside
+    mapInPandas, then every file flows through the same mapInArrow
     extractor the transcript pipeline uses. Returns one row per file with
     (path, doc_sha256, clean_text, spans, words, tables, metrics)."""
+    from ..extraction.pdfbytes import pdf_bytes_to_layout_records
     from ..operators.extract import extract_map_in_arrow
 
-    docs = read_binary_docs(spark, path, glob=glob)
-    as_text = docs.select(
-        "path", "doc_sha256",
-        F.decode(F.col("content"), "utf-8").alias("text"),
+    docs = read_binary_docs(spark, path, glob=glob).select(
+        "path", "doc_sha256", "content"
+    )
+
+    def to_text(batches):
+        for pdf in batches:
+            texts = []
+            for content in pdf["content"]:
+                b = bytes(content)
+                rec = pdf_bytes_to_layout_records(b)
+                texts.append(rec if rec is not None
+                             else b.decode("utf-8", "replace"))
+            out = pdf[["path", "doc_sha256"]].copy()
+            out["text"] = texts
+            yield out
+
+    as_text = docs.mapInPandas(
+        to_text, "path string, doc_sha256 string, text string"
     )
     return extract_map_in_arrow(as_text, text_col="text").drop("text")
 

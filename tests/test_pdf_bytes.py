@@ -1,0 +1,166 @@
+"""Real %PDF- wire-format parsing (extraction/pdfbytes.py) and its
+binary-scan wiring — the round-2 "first gap a real user hits": a genuine
+PDF binary must extract through the UNCHANGED layout pipeline."""
+
+from __future__ import annotations
+
+import zlib
+
+from deepseek_ocr_vllm_spark.extraction import golden
+from deepseek_ocr_vllm_spark.extraction.pdfbytes import (
+    pdf_bytes_to_layout_records)
+
+
+def _obj(n: int, body: bytes) -> bytes:
+    return f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+
+
+def _page(num: int, contents: int, parent: int = 2,
+          fonts: bytes = b"/F1 50 0 R /F2 51 0 R /F3 52 0 R") -> bytes:
+    return _obj(num, (
+        b"<< /Type /Page /Parent " + str(parent).encode()
+        + b" 0 R /MediaBox [0 0 612 792] /Contents "
+        + str(contents).encode() + b" 0 R /Resources << /Font << "
+        + fonts + b" >> >> >>"
+    ))
+
+
+def _content(num: int, ops: bytes, compress: bool = True) -> bytes:
+    stream = zlib.compress(ops) if compress else ops
+    filt = b" /Filter /FlateDecode" if compress else b""
+    return _obj(num, (
+        b"<< /Length " + str(len(stream)).encode() + filt
+        + b" >>\nstream\n" + stream + b"\nendstream"
+    ))
+
+
+_FONT_OBJS = (
+    _obj(50, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    + _obj(51, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>")
+    + _obj(52, b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier-Mono >>")
+)
+
+
+def _mk_pdf(pages: list[bytes], compress: bool = True) -> bytes:
+    kids = b" ".join(f"{10 + i} 0 R".encode() for i in range(len(pages)))
+    pdf = b"%PDF-1.4\n"
+    pdf += _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    pdf += _obj(2, b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+                + str(len(pages)).encode() + b" >>")
+    for i, ops in enumerate(pages):
+        pdf += _page(10 + i, 30 + i)
+        pdf += _content(30 + i, ops, compress=compress)
+    pdf += _FONT_OBJS
+    pdf += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return pdf
+
+
+_PAGE1_OPS = b"""BT
+/F2 20 Tf 72 720 Td (Annual Vessel Report) Tj
+/F1 10 Tf 0 -40 Td (The quick brown fox jumps) Tj
+0 -12 TD (over the lazy harbour dog.) Tj
+T* [(kerned) -250 (words) 10 (kept)] TJ
+/F3 9 Tf 1 0 0 1 72 600 Tm (x = load\\(manifest\\)) Tj
+ET"""
+
+
+def test_real_pdf_extracts_through_layout_pipeline():
+    recs = pdf_bytes_to_layout_records(_mk_pdf([_PAGE1_OPS]))
+    g = golden.extract_turn(recs)
+    assert g["kind"] == "pdf"
+    labels = [s["label"] for s in g["spans"]]
+    # 20pt bold → heading; 10pt body merges its Td/TD/T*/TJ lines; Courier
+    # (Mono) → code — font names flowed from /BaseFont through the records
+    assert labels == ["heading", "paragraph", "code"]
+    blocks = g["clean_text"].split("\n")
+    assert blocks[0] == "Annual Vessel Report"
+    assert blocks[1] == ("The quick brown fox jumps over the lazy harbour "
+                         "dog. kerned wordskept")
+    assert blocks[2] == "x = load(manifest)"
+    assert len(g["words"]) > 10  # X2 word boxes ride along
+
+
+def test_pdf_uncompressed_hex_octal_and_multipage():
+    ops2 = b"""BT
+/F1 10 Tf 72 700 Td <48656c6c6f20686578> Tj
+0 -12 Td (octal \\110\\111 pair) Tj
+ET"""
+    pdf = _mk_pdf([_PAGE1_OPS, ops2], compress=False)
+    recs = pdf_bytes_to_layout_records(pdf)
+    g = golden.extract_turn(recs)
+    assert "Hello hex" in g["clean_text"]
+    assert "octal HI pair" in g["clean_text"]
+    # page 2 lands BELOW page 1 in reading order (y shifted by page height)
+    assert g["clean_text"].index("Annual") < g["clean_text"].index("Hello hex")
+
+
+def test_non_pdf_bytes_fall_back():
+    assert pdf_bytes_to_layout_records(b"just some text") is None
+    # PDF magic but no parsable pages → empty records, not a crash
+    assert pdf_bytes_to_layout_records(b"%PDF-1.4\ngarbage") == ""
+
+
+def test_binary_scan_extracts_real_pdf(spark, tmp_path):
+    """S1→X1 with REAL bytes: binaryFile scan → wire-format parse →
+    mapInArrow extractor, plus the UTF-8 fallback for text payloads."""
+    from deepseek_ocr_vllm_spark.sources.binary_docs import extract_binary_docs
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "real.pdf").write_bytes(_mk_pdf([_PAGE1_OPS]))
+    (d / "textenc.pdf").write_text(
+        "72,40,20,Serif-Bold|Plain Title\n72,100,10,Serif|body line here"
+    )
+    rows = {r.path.rsplit("/", 1)[-1]: r
+            for r in extract_binary_docs(spark, str(d)).collect()}
+    assert rows["real.pdf"].clean_text.startswith("Annual Vessel Report")
+    assert rows["real.pdf"].kind == "pdf"
+    assert rows["textenc.pdf"].clean_text.startswith("Plain Title")
+
+
+import os
+
+import pytest
+
+# third-party PDFs we did NOT author — the strongest wire-format evidence
+_REF_PDF = "/root/reference/workers/vessel-ner/test-vessel-registry.pdf"
+_SYS_PDF = "/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf"
+
+
+@pytest.mark.skipif(not os.path.exists(_REF_PDF), reason="reference tree absent")
+def test_reference_vessel_registry_pdf():
+    g = golden.extract_turn(
+        pdf_bytes_to_layout_records(open(_REF_PDF, "rb").read()))
+    assert g["kind"] == "pdf"
+    assert "MV Test Ship" in g["clean_text"]
+    assert "IMO: 1234567" in g["clean_text"]
+
+
+@pytest.mark.skipif(not os.path.exists(_SYS_PDF), reason="system doc absent")
+def test_objstm_docbook_pdf():
+    """PDF 1.5 compressed object streams: a 140 KB fop-generated spec PDF
+    must yield full text through the ObjStm expansion path."""
+    recs = pdf_bytes_to_layout_records(open(_SYS_PDF, "rb").read())
+    assert recs and recs.count("\n") > 500
+    g = golden.extract_turn(recs)
+    assert "Shared MIME-info Database" in g["clean_text"]
+    assert len(g["clean_text"]) > 20000
+
+
+_SEAFO_PDF = ("/root/reference/data/raw/vessels/RFMO/raw/"
+              "SEAFO_vessels_2025-08-26.pdf")
+
+
+@pytest.mark.skipif(not os.path.exists(_SEAFO_PDF), reason="reference absent")
+def test_tounicode_subset_font_pdf():
+    """Subset fonts remap glyph codes (Caesar-shifted garbage without the
+    /ToUnicode CMap): the reference's real SEAFO vessel list must decode
+    to readable vessel names. Word spacing is approximate (no font width
+    tables — advance is estimated), so assertions are content, not
+    layout-exact."""
+    recs = pdf_bytes_to_layout_records(open(_SEAFO_PDF, "rb").read())
+    g = golden.extract_turn(recs)
+    text = g["clean_text"].replace(" ", "")
+    assert "IbsaQuinto" in text
+    assert "Spain" in text
+    assert "seafo.org" in text
