@@ -105,10 +105,10 @@ def _tokens(s: bytes):
             j = s.find(b">", i)
             if j < 0:
                 break
-            hx = re.sub(rb"\s", b"", s[i + 1:j])
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", s[i + 1:j])
             if len(hx) % 2:
                 hx += b"0"
-            yield ("str", bytes.fromhex(hx.decode("ascii", "ignore")))
+            yield ("str", bytes.fromhex(hx.decode("ascii")))
             i = j + 1
             continue
         if c == 0x5B:
