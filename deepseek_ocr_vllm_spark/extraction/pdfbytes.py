@@ -32,7 +32,6 @@ from __future__ import annotations
 import re
 import zlib
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
 _BASEFONT_RE = re.compile(rb"/BaseFont\s*/([^\s/<>\[\]()]+)")
 _FONTREF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
@@ -303,19 +302,86 @@ def _page_records(content: bytes, fonts: dict[str, dict],
     return recs
 
 
-def _object_stream(body: bytes) -> bytes | None:
-    m = _STREAM_RE.search(body)
-    if not m:
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+# direct-integer /Length only; the \b + lookahead rejects the indirect
+# '/Length 8 0 R' form (backtracking inside the digits can't sneak past
+# the word boundary)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
+# name form '/Filter /FlateDecode' AND array form '/Filter [/FlateDecode]'
+# (ADVICE r3: the array form is equally valid and was returned raw)
+_FLATE_RE = re.compile(rb"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\b)")
+
+
+def _inflate(raw: bytes) -> bytes | None:
+    try:
+        # decompressobj tolerates the EOL bytes PDF writers leave
+        # between the deflate data and ``endstream``
+        return zlib.decompressobj().decompress(raw)
+    except zlib.error:
         return None
-    raw = m.group(1)
-    if re.search(rb"/Filter\s*/FlateDecode\b", body):
-        try:
-            # decompressobj tolerates the EOL bytes PDF writers leave
-            # between the deflate data and ``endstream``
-            return zlib.decompressobj().decompress(raw)
-        except zlib.error:
-            return None
-    return raw
+
+
+def _object_stream(body: bytes) -> bytes | None:
+    """Stream bytes of one object. Prefers the declared direct /Length to
+    delimit the data (an 'endstream' byte sequence inside flate data no
+    longer truncates it — ADVICE r3 silent-loss mode); falls back to the
+    regex scan when /Length is absent, indirect, or inconsistent (stale
+    after an incremental update)."""
+    ms = _STREAM_START_RE.search(body)
+    if not ms:
+        return None
+    head, start = body[:ms.start()], ms.end()
+    candidates = []
+    ml = _LENGTH_RE.search(head)
+    if ml and start + int(ml.group(1)) <= len(body):
+        candidates.append(body[start:start + int(ml.group(1))])
+    mr = _STREAM_RE.search(body)
+    if mr and mr.group(1) not in candidates:
+        candidates.append(mr.group(1))
+    if not candidates:
+        return None
+    if _FLATE_RE.search(head):
+        for raw in candidates:
+            out = _inflate(raw)
+            if out is not None:
+                return out
+        return None
+    return candidates[0]
+
+
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+
+
+def _scan_objects(data: bytes) -> dict[int, bytes]:
+    """Sequential object scan, stream-extent aware: when an object's stream
+    declares a direct /Length, the scan jumps over exactly that many data
+    bytes before looking for ``endobj`` — so 'endobj'/'endstream' byte
+    sequences INSIDE compressed stream data no longer truncate the object
+    (ADVICE r3). Objects without a usable /Length keep the first-endobj
+    fallback (the documented lossy mode). Duplicate object numbers keep the
+    LAST occurrence (incremental updates append newer generations)."""
+    objs: dict[int, bytes] = {}
+    pos, n = 0, len(data)
+    while True:
+        m = _OBJ_HDR_RE.search(data, pos)
+        if not m:
+            break
+        start = m.end()
+        end = data.find(b"endobj", start)
+        ms = _STREAM_START_RE.search(data, start, end if end >= 0 else n)
+        if ms:
+            ml = _LENGTH_RE.search(data[start:ms.start()])
+            if ml:
+                after = ms.end() + int(ml.group(1))
+                if after <= n:
+                    e2 = data.find(b"endobj", after)
+                    if e2 >= 0:
+                        end = e2
+        if end < 0:
+            end = n
+        objs[int(m.group(1))] = data[start:end]
+        pos = min(end + len(b"endobj"), n)
+    return objs
 
 
 def _expand_objstms(objs: dict[int, bytes]) -> None:
@@ -351,7 +417,7 @@ def pdf_bytes_to_layout_records(data: bytes) -> str | None:
     not carry the PDF magic (callers fall back to text decode)."""
     if not data.startswith(b"%PDF-"):
         return None
-    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    objs = _scan_objects(data)
     _expand_objstms(objs)
     recs: list[str] = []
     page_off = 0.0  # stack pages vertically so reading order spans pages

@@ -80,7 +80,12 @@ def _mm_oracle() -> str:
 
     prefix = png_header(*PNG_FIXTURE_DIMS)
     lp = len(prefix)
-    n_mid = sum(1 for b in prefix if 64 <= b <= 126)  # bin-1 bytes in envelope
+    # envelope bin-1 count uses the SAME bin definition as the decoder's
+    # _byte_hist ((b >> 6) == 1, i.e. 64-127) — an ad-hoc 64..126 range
+    # would silently desync if a future fixture dim put byte 127 in the
+    # IHDR/CRC (ADVICE r3). The regex-based [@-~] text count is 64..126,
+    # which equals bin 1 for the printable-ASCII corpus (no DEL byte).
+    n_mid = sum(1 for b in prefix if (b >> 6) == 1)
     w, h = PNG_FIXTURE_DIMS
     return f"""
     SELECT doc_id,

@@ -298,6 +298,26 @@ def _recon_leftover(side, matched, row_col):
         ["row_index", "column_name"], "left_anti")
 
 
+_FALLBACK_SCRATCH_ROOT: list[str] = []
+
+
+def _scratch_fallback_root() -> str:
+    """One process-wide, atexit-cleaned root for scratch-mode stage landings
+    when SPARK_GRAFT_SCRATCH_DIR is unset (ADVICE r3: a bare mkdtemp per
+    query invocation leaked a directory with two materialized parquet
+    stages on every j5 run). Per-call subdirs under it keep concurrent
+    queries in this process apart."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _FALLBACK_SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix="spark_graft_stage_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _FALLBACK_SCRATCH_ROOT.append(root)
+    return _FALLBACK_SCRATCH_ROOT[0]
+
+
 def _stage_lander(spark):
     """Materializer for cascade stage minimum-cuts (VERDICT r2 #4).
 
@@ -308,14 +328,15 @@ def _stage_lander(spark):
     table and read it back — same plan-cut, but DURABLE: at cluster scale
     a lost executor just re-reads the scratch files. Scratch root comes
     from SPARK_GRAFT_SCRATCH_DIR (point it at job-scoped cluster storage);
-    unset, a fresh local tempdir per call keeps concurrent runs apart."""
+    unset, a per-call subdir under one atexit-cleaned process tempdir keeps
+    concurrent runs apart without leaking directories."""
     import os
     import tempfile
 
     if os.environ.get("SPARK_GRAFT_STAGE_LANDING", "local") != "scratch":
         return lambda df, name: df.localCheckpoint(eager=True)
     base = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or tempfile.mkdtemp(
-        prefix="spark_graft_stage_"
+        dir=_scratch_fallback_root()
     )
 
     def land(df, name):

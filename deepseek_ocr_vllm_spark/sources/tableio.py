@@ -45,12 +45,15 @@ def read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     # Heal the _swap crash window for READERS too: a crash between
     # rename-away and rename-in leaves `path` absent until the next upsert
     # runs _recover_swap — without this, read-only consumers see 'no table'
-    # and never trigger healing. Only the path-missing window is healed
-    # here (leftover cleanup stays at upsert entry); the emulation assumes
-    # no reader races an IN-FLIGHT writer (single-writer / reader-after-
-    # writer — the Iceberg path has real snapshot isolation instead).
+    # and never trigger healing. RESTORE-ONLY here: rename _old back but
+    # never touch _v2 — a reader landing inside a LIVE writer's swap window
+    # must not delete the fresh uncommitted snapshot (that would make the
+    # writer's commit rename fail); _v2 cleanup stays writer-side, at the
+    # next upsert's _recover_swap.
     if "://" not in path and not os.path.exists(path):
-        _recover_swap(path)
+        old = path + "_old"
+        if os.path.exists(old):
+            os.rename(old, path)
     fs, p = hadoop_fs(spark, path)
     if not fs.exists(p):
         return None

@@ -371,9 +371,12 @@ def test_iceberg_merge_path_sql_and_gate(spark):
 
 
 def test_reader_heals_swap_crash_window(spark, tmp_path):
-    """ADVICE: a crash between rename-away and rename-in must be healed by
-    read-only consumers too — read_or_none restores the prior snapshot
-    instead of reporting 'no table' until the next upsert."""
+    """ADVICE (r3 refinement): a crash between rename-away and rename-in is
+    healed by read-only consumers too — read_or_none restores the prior
+    snapshot instead of reporting 'no table' — but RESTORE-ONLY: it must
+    NOT delete _v2 (a reader racing a live writer's swap window would
+    otherwise destroy the fresh uncommitted snapshot). _v2 cleanup belongs
+    to the next writer's _recover_swap."""
     import os
 
     from deepseek_ocr_vllm_spark.sources.tableio import (
@@ -389,7 +392,13 @@ def test_reader_heals_swap_crash_window(spark, tmp_path):
     assert {r.id for r in df.collect()} == {1, 2}
     assert os.path.exists(path)
     assert not os.path.exists(path + "_old")
+    # read-only path gained NO delete side effects: _v2 untouched...
+    assert os.path.exists(path + "_v2")
+    # ...and the next WRITER cleans it at upsert entry (_recover_swap)
+    v2 = spark.createDataFrame([(3, "C")], ["id", "name"])
+    upsert_with_history(spark, v2, path, ["id"], ["name"])
     assert not os.path.exists(path + "_v2")
+    assert not os.path.exists(path + "_old")
 
 
 def test_iceberg_sql_golden_shapes(spark):

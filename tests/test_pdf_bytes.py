@@ -94,6 +94,29 @@ ET"""
     assert g["clean_text"].index("Annual") < g["clean_text"].index("Hello hex")
 
 
+def test_filter_array_form_and_length_delimited_streams():
+    """ADVICE r3: '/Filter [/FlateDecode]' (array form) must inflate, and a
+    declared direct /Length must delimit stream bytes so 'endstream' /
+    'endobj' byte sequences INSIDE the deflate data don't truncate the
+    object (the sequential-scan silent-loss mode)."""
+    # craft ops whose compressed bytes contain both marker strings: stuff
+    # them into a comment (ignored by the tokenizer) UNCOMPRESSED payload
+    ops = (b"BT /F1 10 Tf 72 700 Td (array filter ok) Tj ET\n"
+           b"% endstream endobj padding to defeat naive scans")
+    stream = zlib.compress(ops, 0)  # level 0: stored blocks keep raw bytes
+    assert b"endstream" in stream and b"endobj" in stream
+    content = _obj(30, (
+        b"<< /Length " + str(len(stream)).encode()
+        + b" /Filter [ /FlateDecode ] >>\nstream\n" + stream + b"\nendstream"
+    ))
+    pdf = (b"%PDF-1.4\n" + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+           + _obj(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+           + _page(10, 30) + content + _FONT_OBJS
+           + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    g = golden.extract_turn(pdf_bytes_to_layout_records(pdf))
+    assert "array filter ok" in g["clean_text"]
+
+
 def test_non_pdf_bytes_fall_back():
     assert pdf_bytes_to_layout_records(b"just some text") is None
     # PDF magic but no parsable pages → empty records, not a crash
