@@ -289,3 +289,67 @@ def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42,
         with ProcessPoolExecutor(max_workers=n_jobs) as ex:
             list(ex.map(_write_chunk, jobs))
     return path
+
+
+# --------------------------------------------------------- real PDF binaries
+
+def _pdf_binary(rng: random.Random) -> bytes:
+    """One deterministic genuine ``%PDF-`` binary: multi-page, flate-
+    compressed content streams, Tf/Td/TD/T*/Tj/TJ text ops across three
+    fonts — the wire-format analog of ``_pdf_payload`` so the X1 hot path
+    (extraction/pdfbytes.py) can be BENCHED on real bytes, not just the
+    text-encoded layout records. Vocabulary has no ()\\ so no string
+    escaping is needed."""
+    import zlib as _zlib
+
+    def obj(n: int, body: bytes) -> bytes:
+        return f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    n_pages = rng.randint(2, 5)
+    out = [b"%PDF-1.4\n", obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")]
+    kids = " ".join(f"{10 + i} 0 R" for i in range(n_pages)).encode()
+    out.append(obj(2, b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+                   + str(n_pages).encode() + b" >>"))
+    for i in range(n_pages):
+        ops = [b"BT"]
+        ops.append(f"/F2 18 Tf 72 720 Td ({_sentence(rng, 3, 6)}) Tj".encode())
+        ops.append(b"/F1 10 Tf 0 -36 Td")
+        for _ in range(rng.randint(15, 30)):
+            if rng.random() < 0.2:
+                parts = " ".join(
+                    f"({w}) -{rng.randint(200, 320)}"
+                    for w in rng.sample(WORDS, rng.randint(3, 6)))
+                ops.append(f"[{parts}] TJ T*".encode())
+            else:
+                ops.append(f"({_sentence(rng, 5, 12)}) Tj T*".encode())
+        if rng.random() < 0.3:
+            ops.append(f"/F3 9 Tf 1 0 0 1 72 200 Tm "
+                       f"({rng.choice(WORDS)} = {rng.randint(0, 99)}) Tj".encode())
+        ops.append(b"ET")
+        stream = _zlib.compress(b"\n".join(ops))
+        out.append(obj(10 + i, (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents " + str(30 + i).encode() + b" 0 R /Resources "
+            b"<< /Font << /F1 50 0 R /F2 51 0 R /F3 52 0 R >> >> >>")))
+        out.append(obj(30 + i, (
+            b"<< /Length " + str(len(stream)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + stream
+            + b"\nendstream")))
+    out.append(obj(50, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    out.append(obj(51, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>"))
+    out.append(obj(52, b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"))
+    out.append(b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    return b"".join(out)
+
+
+def write_pdf_corpus(path: str, n_docs: int, seed: int = 42) -> str:
+    """Deterministic directory of genuine multi-page PDF binaries for
+    benching the binary-scan → wire-format-parse → extract pipeline."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    for i in range(n_docs):
+        rng = random.Random(_seed(f"pdfdoc-{seed}", i))
+        with open(os.path.join(path, f"doc_{i:05d}.pdf"), "wb") as f:
+            f.write(_pdf_binary(rng))
+    return path

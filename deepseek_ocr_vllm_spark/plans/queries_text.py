@@ -877,10 +877,28 @@ def t5_fuzzy_trigram_search(spark, sf_dir):
     pn = probes.select(
         "probe_key", F.lower(strip_accents_sql(F.col("probe_raw"))).alias("pname")
     )
-    tn = sup.select("s_suppkey", F.lower("s_name").alias("tname"))
+    tn = sup.select(
+        F.col("s_suppkey").alias("target_key"), F.lower("s_name").alias("tname")
+    )
+    best, _inter = _trigram_best_match(pn, tn)
+    return (
+        best.select(
+            "probe_key",
+            F.col("target_key").alias("matched_suppkey"),
+            "sim",
+        )
+        .orderBy("probe_key")
+    )
 
-    tg_all = tn.select("s_suppkey", trigram_grams("tname"))
-    nn = tg_all.agg(F.countDistinct("s_suppkey").alias("n"))
+
+def _trigram_best_match(pn, tn):
+    """Trigram fuzzy-match core: pn(probe_key, pname) against
+    tn(target_key, tname) → (best_df with rk=1 rows, candidate inter_df).
+    Hot-gram DF cap, gram equi-join, probe side broadcast — the t5 shape,
+    factored so the bench-scale run (part names, 20x the supplier table)
+    reuses the identical plan and can report its candidate-pair count."""
+    tg_all = tn.select("target_key", trigram_grams("tname"))
+    nn = tg_all.agg(F.countDistinct("target_key").alias("n"))
     hot = (
         tg_all.groupBy("g")
         .agg(F.count("*").alias("df"))
@@ -894,26 +912,47 @@ def t5_fuzzy_trigram_search(spark, sf_dir):
     )
     tg = tg_all.join(F.broadcast(hot), "g", "left_anti")
     psz = pg.groupBy("probe_key").agg(F.count("*").alias("np"))
-    tsz = tg.groupBy("s_suppkey").agg(F.count("*").alias("nt"))
+    tsz = tg.groupBy("target_key").agg(F.count("*").alias("nt"))
     inter = (
         F.broadcast(pg).join(tg, "g")
-        .groupBy("probe_key", "s_suppkey")
+        .groupBy("probe_key", "target_key")
         .agg(F.count("*").alias("nc"))
     )
     sim = F.col("nc").cast("double") / (F.col("np") + F.col("nt") - F.col("nc"))
     scored = (
         inter.join(F.broadcast(psz), "probe_key")
-        .join(tsz, "s_suppkey")
+        .join(tsz, "target_key")
         .withColumn("sim_raw", sim)
         .withColumn("rk", F.row_number().over(
-            Window.partitionBy("probe_key").orderBy(F.desc("sim_raw"), "s_suppkey")))
+            Window.partitionBy("probe_key").orderBy(F.desc("sim_raw"),
+                                                    "target_key")))
     )
-    return (
+    best = (
         scored.filter("rk = 1")
-        .select(
-            "probe_key",
-            F.col("s_suppkey").alias("matched_suppkey"),
-            F.round("sim_raw", 6).alias("sim"),
-        )
-        .orderBy("probe_key")
+        .select("probe_key", "target_key", F.round("sim_raw", 6).alias("sim"))
     )
+    return best, inter
+
+
+def t5_fuzzy_full(spark, sf_dir):
+    """Bench-scale evidence run (VERDICT r3 #2): the same trigram
+    fuzzy-match over the part table — 20k names at sf0.1 vs the oracle's
+    1k-supplier corpus — with deterministically accented/truncated probes
+    (every 97th part). Not @q-registered: no oracle at this volume by
+    design; the identical core is oracle-gated through
+    t5_fuzzy_trigram_search. Returns (best_df, candidates_df)."""
+    from ..functions.strings import strip_accents_sql
+
+    part = t(spark, sf_dir, "part")
+    probes = part.filter("p_partkey % 97 = 3").select(
+        F.col("p_partkey").alias("probe_key"),
+        F.translate(F.expr("substr(p_name, 4)"), "aeo", "äéö")
+        .alias("probe_raw"),
+    )
+    pn = probes.select(
+        "probe_key", F.lower(strip_accents_sql(F.col("probe_raw"))).alias("pname")
+    )
+    tn = part.select(
+        F.col("p_partkey").alias("target_key"), F.lower("p_name").alias("tname")
+    )
+    return _trigram_best_match(pn, tn)

@@ -201,6 +201,26 @@ def test_embed_multiprobe_recovers_cross_cell_pair(spark):
     assert home_only <= probed
 
 
+def test_embed_prefilter_size_gate(spark, monkeypatch):
+    """VERDICT r3 #3: the numpy prefilter is pure fixed cost on toy
+    candidate sets — below SPARK_GRAFT_EMBED_PREFILTER_MIN the plan must
+    contain NO Python stage at all; above it, the MapInPandas prefilter
+    engages. Same rows either way (the oracle checker covers value
+    equality on both branches)."""
+    from deepseek_ocr_vllm_spark.plans.queries_ml import dd_embed_cosine
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_EMBED_PREFILTER_MIN_VECS", "10000000")
+    plan_off = (dd_embed_cosine(spark, sf)
+                ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" not in plan_off and "BatchEvalPython" not in plan_off
+
+    monkeypatch.setenv("SPARK_GRAFT_EMBED_PREFILTER_MIN_VECS", "1")
+    plan_on = (dd_embed_cosine(spark, sf)
+               ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" in plan_on and "BatchEvalPython" not in plan_on
+
+
 def test_kmeans_quantizer_converges_and_is_bit_stable(spark):
     """VERDICT r2 #3: Lloyd iterations as DataFrame ops — (shifted)
     inertia non-increasing every step, and a re-run is bit-identical
