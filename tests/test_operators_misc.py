@@ -17,11 +17,20 @@ def test_multimodal_features_deterministic(spark):
     r2 = feats.orderBy("doc_id").collect()
     assert r1 == r2
     assert len(r1) == docs.count()
+    from deepseek_ocr_vllm_spark.operators.multimodal import (
+        WAV_BLOCK_ALIGN, WAV_FIXTURE_RATE, WAV_HEADER_LEN)
+
     for r in r1[:20]:
         assert r.content_type in ("image/png", "audio/wav", "video/mp4")
         assert r.width > 0 and r.height > 0
         assert abs(sum(r.byte_hist) - 1.0) < 1e-9
-        assert (r.n_frames == 1) == (r.content_type == "image/png")
+        if r.content_type == "image/png":
+            assert r.n_frames == 1
+        elif r.content_type == "audio/wav":  # real RIFF parse
+            assert (r.width, r.height) == (WAV_FIXTURE_RATE, 1)
+            assert r.n_frames == (r.size_bytes - WAV_HEADER_LEN) // WAV_BLOCK_ALIGN
+        else:
+            assert r.n_frames >= 1
 
 
 def test_foreach_batch_idempotent_sink(spark, tmp_path):
@@ -352,4 +361,32 @@ def test_media_features_real_png_path(spark):
     assert (rows[0].width, rows[0].height) == PNG_FIXTURE_DIMS
     assert rows[0].n_frames == 1
     assert rows[0].size_bytes == len("alpha beta") + 33
-    assert rows[1].width != PNG_FIXTURE_DIMS[0]  # stub path untouched
+    # audio row: REAL RIFF/WAVE envelope parsed back (r3 #6)
+    assert (rows[1].width, rows[1].height) == (16000, 1)
+    assert rows[1].size_bytes == len("gamma delta") + 44
+    assert rows[1].n_frames == len("gamma delta") // 2
+    # video row: still the clearly-marked stub
+    assert rows[2].width not in (PNG_FIXTURE_DIMS[0], 16000)
+
+
+def test_wav_decoder_parses_real_wire_format():
+    """VERDICT r3 #6: decode_wav_meta must walk the RIFF chunk list (not
+    assume a fixed 44-byte layout — a LIST chunk before 'data' is legal),
+    read fmt fields, and reject non-WAV bytes."""
+    import struct
+
+    from deepseek_ocr_vllm_spark.operators.multimodal import (
+        decode_wav_meta, wav_header)
+
+    # the header builder round-trips through the parser
+    assert decode_wav_meta(wav_header(1000) + b"\x00" * 1000) == (16000, 1, 500)
+    # hand-built 2-channel 44.1 kHz WAV with an extra LIST chunk
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"LIST" + struct.pack("<I", 4) + b"INFO"
+           + b"data" + struct.pack("<I", 400) + b"\x00" * 400)
+    assert decode_wav_meta(wav) == (44100, 2, 100)
+    assert decode_wav_meta(b"RIFF\x00\x00\x00\x00JUNKxxxxxxxxxxxxxxxxxxxx"
+                           b"xxxxxxxxxxxxxxxxxxxx") is None
+    assert decode_wav_meta(b"plain text payload") is None
