@@ -40,8 +40,12 @@ _MEDIABOX_RE = re.compile(
 )
 
 # a TJ kerning adjustment more negative than this (in text-space
-# thousandths) is a word gap, not letter kerning
+# thousandths) is a word gap, not letter kerning — the FALLBACK when the
+# font declares no width table (with /Widths, the threshold is half the
+# font's actual space-glyph width)
 TJ_WORD_GAP = -180.0
+# average glyph width in thousandths when the font declares none
+DEFAULT_GLYPH_W = 500.0
 
 _ESC = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C,
         0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
@@ -182,28 +186,132 @@ def parse_tounicode(raw: bytes) -> tuple[dict[int, str], int]:
     return cmap, width
 
 
+def _codes(raw: bytes, font: dict):
+    w = font.get("w", 1)
+    if w == 2:
+        if len(raw) % 2:
+            raw = raw[:-1]
+        return [int.from_bytes(raw[i:i + 2], "big")
+                for i in range(0, len(raw), 2)]
+    return list(raw)
+
+
 def _decode_text(raw: bytes, font: dict) -> str:
     cmap = font.get("cmap")
     if cmap:
-        w = font.get("w", 1)
-        if w == 2 and len(raw) % 2:
-            raw = raw[:-1]
-        codes = (
-            (int.from_bytes(raw[i:i + 2], "big") for i in range(0, len(raw), 2))
-            if w == 2 else iter(raw)
-        )
-        s = "".join(cmap.get(c, "") for c in codes)
+        s = "".join(cmap.get(c, "") for c in _codes(raw, font))
     else:
         s = raw.decode("latin-1")
     # record grammar is line-based: control chars would split/garble records
     return re.sub(r"[\x00-\x1f]", " ", s)
 
 
+def _advance1000(raw: bytes, font: dict) -> float | None:
+    """Advance of a show-op's bytes in text-space thousandths, from the
+    font's declared width table (VERDICT r3 #7: pdfplumber reads per-glyph
+    widths, scripts/pdf_extract.py:58-73). None when the font declares no
+    widths (caller falls back to the average-glyph estimate)."""
+    widths = font.get("widths")
+    if widths is None:
+        return None
+    default = font.get("default_w", DEFAULT_GLYPH_W)
+    return sum(widths.get(c, default) for c in _codes(raw, font))
+
+
+# ---------------------------------------------------------- width tables
+
+_FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
+_MISSINGW_RE = re.compile(rb"/MissingWidth\s+([\d.]+)")
+_DW_RE = re.compile(rb"/DW\s+([\d.]+)")
+_DESCFONT_RE = re.compile(rb"/DescendantFonts\s*\[?\s*(\d+)\s+\d+\s+R")
+_WIDTHS_RE = re.compile(rb"/Widths\s*(\[|\d+\s+\d+\s+R)")
+
+
+def _balanced_array(data: bytes, start: int) -> bytes | None:
+    """The balanced [...] starting at data[start] (nested arrays allowed —
+    CID /W interleaves sub-arrays with range triples)."""
+    depth = 0
+    for i in range(start, len(data)):
+        b = data[i]
+        if b == 0x5B:
+            depth += 1
+        elif b == 0x5D:
+            depth -= 1
+            if depth == 0:
+                return data[start:i + 1]
+    return None
+
+
+def parse_simple_widths(fbody: bytes, objs: dict[int, bytes]) -> dict[int, float] | None:
+    """/FirstChar + /Widths [...] of a simple (Type1/TrueType) font —
+    direct array or an indirect reference to one."""
+    m = _WIDTHS_RE.search(fbody)
+    if not m:
+        return None
+    if m.group(1) == b"[":
+        arr = _balanced_array(fbody, m.end() - 1)
+    else:
+        body = objs.get(int(m.group(1).split()[0]), b"")
+        i = body.find(b"[")
+        arr = _balanced_array(body, i) if i >= 0 else None
+    if not arr:
+        return None
+    fm = _FIRSTCHAR_RE.search(fbody)
+    first = int(fm.group(1)) if fm else 0
+    return {first + i: float(v)
+            for i, v in enumerate(_NUM_RE.findall(arr))}
+
+
+def parse_cid_widths(descbody: bytes) -> tuple[dict[int, float], float]:
+    """CIDFont /W array + /DW default: entries are either
+    ``c [w1 w2 ...]`` (consecutive CIDs from c) or ``c1 c2 w`` (range)."""
+    widths: dict[int, float] = {}
+    dm = _DW_RE.search(descbody)
+    default = float(dm.group(1)) if dm else 1000.0
+    wm = re.search(rb"/W\s*\[", descbody)
+    if not wm:
+        return widths, default
+    arr = _balanced_array(descbody, wm.end() - 1)
+    if not arr:
+        return widths, default
+    # tokenize the interior: numbers and sub-arrays
+    toks: list = []
+    i = 1
+    while i < len(arr) - 1:
+        if arr[i] == 0x5B:
+            sub = _balanced_array(arr, i)
+            toks.append([float(v) for v in _NUM_RE.findall(sub)])
+            i += len(sub)
+            continue
+        m = _NUM_RE.match(arr, i)
+        if m:
+            toks.append(float(m.group(0)))
+            i = m.end()
+            continue
+        i += 1
+    k = 0
+    while k < len(toks):
+        if k + 1 < len(toks) and isinstance(toks[k + 1], list):
+            c = int(toks[k])
+            for j, w in enumerate(toks[k + 1]):
+                widths[c + j] = w
+            k += 2
+        elif k + 2 < len(toks):
+            c1, c2, w = int(toks[k]), int(toks[k + 1]), toks[k + 2]
+            for c in range(c1, min(c2, c1 + 65535) + 1):
+                widths[c] = w
+            k += 3
+        else:
+            break
+    return widths, default
+
+
 _DEFAULT_FONT = {"name": "Unknown", "cmap": None, "w": 1}
 
 # average glyph advance as a fraction of font size, for merging
 # individually-positioned show ops back into lines (spreadsheet exporters
-# emit one Tj PER GLYPH; without coalescing that reads "w w w")
+# emit one Tj PER GLYPH; without coalescing that reads "w w w") — the
+# FALLBACK when the font declares no /Widths table
 _ADV = 0.5
 
 
@@ -215,7 +323,7 @@ def _page_records(content: bytes, fonts: dict[str, dict],
     x = y = 0.0
     stack: list[tuple] = []
     arr: list[tuple] | None = None
-    pend: list | None = None  # [x, y, size, font_name, text] being built
+    pend: list | None = None  # [x, y, size, font_name, text, end_x]
 
     def flush() -> None:
         nonlocal pend
@@ -227,24 +335,37 @@ def _page_records(content: bytes, fonts: dict[str, dict],
         pend = None
 
     def emit(raw: bytes) -> None:
-        nonlocal pend
+        """Show text at the cursor and ADVANCE it (VERDICT r3 #7): with a
+        declared /Widths (or CID /W) table the advance is the real per-
+        glyph sum, so consecutive show ops land where the PDF put them and
+        the word-gap decision compares against actual geometry; without
+        widths, the average-glyph estimate is kept."""
+        nonlocal pend, x
         txt = _decode_text(raw, font)
-        if not txt:
-            return
         size = font_size * abs(scale) or font_size
+        adv1000 = _advance1000(raw, font)
+        adv_pts = (adv1000 / 1000.0 * size if adv1000 is not None
+                   else _ADV * size * len(txt))
+        if not txt:
+            x += adv_pts
+            return
         if pend is not None and abs(pend[1] - y) < 0.1 and pend[3] == font["name"]:
-            # same baseline + font: estimate where the pending run ends and
-            # join (gap < glyph width → same word; < 2 em → word gap)
-            est_end = pend[0] + _ADV * pend[2] * len(pend[4])
-            gap = x - est_end
+            # same baseline + font: join based on the gap to the pending
+            # run's end (gap < glyph width → same word; < 2 em → word gap)
+            gap = x - pend[5]
             if -1.5 * size < gap < 0.3 * size:
                 pend[4] += txt
+                pend[5] = x + adv_pts
+                x += adv_pts
                 return
             if 0.3 * size <= gap < 2.5 * size:
                 pend[4] += " " + txt
+                pend[5] = x + adv_pts
+                x += adv_pts
                 return
         flush()
-        pend = [x, y, size, font["name"], txt]
+        pend = [x, y, size, font["name"], txt, x + adv_pts]
+        x += adv_pts
 
     for kind, val in _tokens(content):
         if kind in ("num", "str", "name"):
@@ -288,11 +409,16 @@ def _page_records(content: bytes, fonts: dict[str, dict],
                 if stack and stack[-1][0] == "str":
                     emit(stack[-1][1])
             elif op == "TJ" and stack and stack[-1][0] == "arr":
+                # with a width table the word-gap cutoff is half the
+                # font's real space width; else the fixed fallback
+                fw = font.get("widths")
+                thr = (-(fw.get(32, 360.0) / 2) if fw is not None
+                       else TJ_WORD_GAP)
                 parts: list[bytes] = []
                 for k2, v2 in stack[-1][1]:
                     if k2 == "str":
                         parts.append(v2)
-                    elif k2 == "num" and v2 < TJ_WORD_GAP:
+                    elif k2 == "num" and v2 < thr:
                         parts.append(b" ")
                 emit(b"".join(parts))
         except (TypeError, ValueError):
@@ -446,10 +572,22 @@ def pdf_bytes_to_layout_records(data: bytes) -> str | None:
                     turaw = _object_stream(objs.get(int(tu.group(1)), b""))
                     if turaw:
                         cmap, w = parse_tounicode(turaw)
+                widths = parse_simple_widths(fbody, objs)
+                default_w = None
+                mw = _MISSINGW_RE.search(fbody)
+                if mw:
+                    default_w = float(mw.group(1))
                 if re.search(rb"/Subtype\s*/Type0\b", fbody):
                     w = 2  # composite font: 2-byte CIDs regardless of CMap
+                    dm = _DESCFONT_RE.search(fbody)
+                    if dm and int(dm.group(1)) in objs:
+                        cw, dflt = parse_cid_widths(objs[int(dm.group(1))])
+                        if cw:
+                            widths, default_w = cw, dflt
                 fonts[fid.decode("latin-1")] = {
                     "name": name, "cmap": cmap or None, "w": w,
+                    "widths": widths,
+                    **({"default_w": default_w} if default_w is not None else {}),
                 }
 
         cm = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", body)

@@ -141,6 +141,46 @@ def test_binary_scan_extracts_real_pdf(spark, tmp_path):
     assert rows["textenc.pdf"].clean_text.startswith("Plain Title")
 
 
+def test_width_table_parsers():
+    """VERDICT r3 #7: /FirstChar+/Widths (direct and via indirect ref) and
+    CID /W (both the ``c [w...]`` and ``c1 c2 w`` entry forms) + /DW."""
+    from deepseek_ocr_vllm_spark.extraction.pdfbytes import (
+        parse_cid_widths, parse_simple_widths)
+
+    fb = b"<< /Type /Font /FirstChar 32 /Widths [ 250 333 500.5 ] >>"
+    assert parse_simple_widths(fb, {}) == {32: 250.0, 33: 333.0, 34: 500.5}
+    fb_ref = b"<< /Type /Font /FirstChar 65 /Widths 7 0 R >>"
+    objs = {7: b"[600 700]"}
+    assert parse_simple_widths(fb_ref, objs) == {65: 600.0, 66: 700.0}
+    assert parse_simple_widths(b"<< /Type /Font >>", {}) is None
+
+    desc = b"<< /Subtype /CIDFontType2 /DW 800 /W [ 1 [500 600] 10 12 450 ] >>"
+    widths, dw = parse_cid_widths(desc)
+    assert dw == 800.0
+    assert widths == {1: 500.0, 2: 600.0, 10: 450.0, 11: 450.0, 12: 450.0}
+
+
+def test_widths_drive_cursor_advance():
+    """Consecutive Tj ops with NO repositioning between them must land at
+    real width-table advances: same word when glyphs abut, a word gap when
+    the PDF leaves space-width room (the pre-r4 parser left the cursor
+    still and could only guess)."""
+    ops = (b"BT /F1 10 Tf 72 700 Td (AB) Tj (CD) Tj ET\n"
+           b"BT /F1 10 Tf 72 650 Td (AB) Tj 15 0 Td (EF) Tj ET")
+    font = _obj(50, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                    b" /FirstChar 65 /Widths [500 500 500 500 500 500] >>")
+    pdf = (b"%PDF-1.4\n" + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+           + _obj(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+           + _page(10, 30, fonts=b"/F1 50 0 R") + _content(30, ops)
+           + font + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    recs = pdf_bytes_to_layout_records(pdf)
+    # AB at 72 advances 2x500/1000x10 = 10pt; CD shows at the cursor -> one
+    # word. Second line: 15pt jump from 72 with run end at 82 -> 5pt gap
+    # (0.3-2.5 em at 10pt) -> word gap.
+    lines = [r.split("|", 1)[1] for r in recs.split("\n")]
+    assert lines == ["ABCD", "AB EF"]
+
+
 import os
 
 import pytest
@@ -178,12 +218,19 @@ _SEAFO_PDF = ("/root/reference/data/raw/vessels/RFMO/raw/"
 def test_tounicode_subset_font_pdf():
     """Subset fonts remap glyph codes (Caesar-shifted garbage without the
     /ToUnicode CMap): the reference's real SEAFO vessel list must decode
-    to readable vessel names. Word spacing is approximate (no font width
-    tables — advance is estimated), so assertions are content, not
-    layout-exact."""
+    to readable vessel names. Since r4 the CID /W width tables drive the
+    advance (VERDICT r3 #7), so assertions are LAYOUT-exact: multi-word
+    vessel names carry real spaces and whole table lines are stable."""
     recs = pdf_bytes_to_layout_records(open(_SEAFO_PDF, "rb").read())
     g = golden.extract_turn(recs)
-    text = g["clean_text"].replace(" ", "")
-    assert "IbsaQuinto" in text
-    assert "Spain" in text
-    assert "seafo.org" in text
+    lines = g["clean_text"].split("\n")
+    # word spacing from the real width table, not estimation
+    assert "6 Ibsa Quinto" in lines
+    assert "4 King Kauluma 1 Namibia" in lines
+    assert "2 Daito Maru No.8 Japan" in lines
+    assert ("Vessel Name Flag State Radio Call Sign IMO Gear Length(m) "
+            "Gross Tonnage") in lines
+    # stable per-line word counts for every vessel row (id + name + flag)
+    row6 = lines[lines.index("6 Ibsa Quinto")]
+    assert len(row6.split()) == 3
+    assert len(g["words"]) == 97
