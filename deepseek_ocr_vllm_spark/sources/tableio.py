@@ -181,19 +181,32 @@ def upsert_with_history(
 
 
 def iceberg_merge_sql(table: str, keys: list[str], compare_cols: list[str],
-                      source_view: str = "updates") -> str:
+                      source_view: str = "updates",
+                      delete_predicate: str | None = None,
+                      insert_only: bool = False) -> str:
     """The cluster-path MERGE for upsert_with_history (one ATOMIC snapshot
     commit — the semantics the reference gets from its transactional sinks,
-    sql/ebisu_transform.sql:98-165 / outbox.go:75-87)."""
+    sql/ebisu_transform.sql:98-165 / outbox.go:75-87).
+
+    ``delete_predicate`` (e.g. ``s.is_deleted``) adds a WHEN MATCHED ...
+    THEN DELETE clause BEFORE the update arm, so tombstone rows delete even
+    when their payload also differs (clause order is first-match-wins).
+    ``insert_only=True`` emits the idempotent-outbox shape — WHEN NOT
+    MATCHED THEN INSERT only, the MERGE equivalent of
+    INSERT ... ON CONFLICT DO NOTHING (outbox.go:75-87 / S12)."""
     on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-    diff = " OR ".join(
-        f"NOT (t.{c} <=> s.{c})" for c in compare_cols
-    )
-    sets = ", ".join(f"t.{c} = s.{c}" for c in compare_cols)
+    clauses = []
+    if not insert_only:
+        if delete_predicate:
+            clauses.append(
+                f"WHEN MATCHED AND ({delete_predicate}) THEN DELETE")
+        diff = " OR ".join(f"NOT (t.{c} <=> s.{c})" for c in compare_cols)
+        sets = ", ".join(f"t.{c} = s.{c}" for c in compare_cols)
+        clauses.append(f"WHEN MATCHED AND ({diff}) THEN UPDATE SET {sets}")
+    clauses.append("WHEN NOT MATCHED THEN INSERT *")
     return (
         f"MERGE INTO {table} t USING {source_view} s ON {on}\n"
-        f"WHEN MATCHED AND ({diff}) THEN UPDATE SET {sets}\n"
-        f"WHEN NOT MATCHED THEN INSERT *"
+        + "\n".join(clauses)
     )
 
 
