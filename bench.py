@@ -134,6 +134,22 @@ def bench_full_scale(spark, sf_dir: str) -> dict[str, dict]:
             n_vecs, lambda c: c.count())
         run("t5_fuzzy_full", lambda: t5_fuzzy_full(spark, sf_dir),
             n_parts, lambda c: c.count())
+        # unlabeled-corpus path: k-means coarse quantizer TRAINED on the
+        # full corpus (Lloyd as DataFrame ops) + the same blocked pair
+        # generation — single run (training dominates; the banded runs
+        # above already carry the best-of-2 discipline)
+        from deepseek_ocr_vllm_spark.plans.queries_ml import (
+            embed_pairs_unlabeled)
+
+        emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .select("vec_id", "embedding"))
+        t0 = time.time()
+        n_pairs = embed_pairs_unlabeled(emb, k=16, n_iter=3).count()
+        out["embed_unlabeled_pairs_full"] = {
+            "sec": round(time.time() - t0, 3), "inputs": n_vecs,
+            "result_rows": n_pairs, "candidate_pairs": n_pairs,
+            "allpairs_equivalent": n_vecs * (n_vecs - 1) // 2,
+        }
     finally:
         for k, v in saved.items():
             if v is None:
