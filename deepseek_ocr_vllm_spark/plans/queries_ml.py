@@ -623,7 +623,15 @@ def _embed_blocked_pairs(e, max_cell_pop: int, probes: int):
     """Candidate-pair generation for dd_embed_cosine: multiprobe cell
     assignment + hot-cell sub-split, all equi-joins. Returns a DataFrame
     (vec_a, vec_b) of DISTINCT candidate pairs. Factored out so the
-    skewed-cell test can assert the pair-count bound directly."""
+    skewed-cell test can assert the pair-count bound directly.
+
+    Centroid scoring is SHUFFLE-FREE on the corpus side: the centroid
+    table is k x dim — bounded by the quantizer knob at ANY corpus size —
+    so it is collected and inlined as literal arrays, and each vector
+    scores all k cells in one map-only decimal fold per cell (same
+    DECIMAL(18,9)-quantized products as the oracle's SUM, so the scores
+    stay bit-identical). The old shape shuffled an (n_vecs x dim x k)-row
+    aggregation — a corpus-sized exchange the blocking exists to avoid."""
     ex = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
     cent = (
         ex.groupBy(F.col("label").alias("cell"), F.col("pos"))
@@ -634,15 +642,33 @@ def _embed_blocked_pairs(e, max_cell_pop: int, probes: int):
             ).alias("c")
         )
     )
-    vscore = (
-        ex.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "label", "cell")
-        .agg(
-            F.sum((F.col("v").cast("double") * F.col("c")).cast("decimal(18,9)"))
-            .cast("double")
-            .alias("score")
+    by_cell: dict = {}
+    for r in cent.collect():  # k x dim rows — bounded by the k knob
+        by_cell.setdefault(r.cell, {})[r.pos] = r.c
+    cent_arrays = {cell: [m[p] for p in sorted(m)]
+                   for cell, m in by_cell.items()}
+
+    def score_against(arr):
+        prod = F.zip_with(
+            F.col("embedding"),
+            F.array(*[F.lit(float(v)) for v in arr]),
+            lambda p, c: (p.cast("double") * c).cast("decimal(18,9)"),
         )
-    )
+        return F.aggregate(
+            prod,
+            F.lit(0).cast("decimal(38,9)"),
+            lambda acc, v: (acc + v).cast("decimal(38,9)"),
+        ).cast("double")
+
+    vscore = e.select(
+        "vec_id", "label",
+        F.explode(F.array(*[
+            F.struct(F.lit(cell).alias("cell"),
+                     score_against(arr).alias("score"))
+            for cell, arr in sorted(cent_arrays.items())
+        ])).alias("cs"),
+    ).select("vec_id", "label", F.col("cs.cell").alias("cell"),
+             F.col("cs.score").alias("score"))
     probe = (
         vscore.filter(F.col("cell") != F.col("label"))
         .withColumn(
@@ -725,9 +751,10 @@ def dd_embed_cosine(spark, sf_dir):
     The vec_id<200 oracle slice bounds the input BY CONSTRUCTION, so it is
     localCheckpoint-ed once (it is re-read ~4x: pair generation, both pair
     sides, norms) and the per-vector sides below are broadcast — measured
-    3.07 s -> ~2.1 s at sf0.1 in alternating same-session A/Bs. The
-    UNSLICED scale path (no checkpoint of a corpus-sized table, prefilter
-    engaged) is bench.py's dd_embed_cosine_full via embed_cosine_pairs."""
+    3.07 s -> ~2.2 s at sf0.1 in alternating same-session A/Bs (the
+    remaining cost is the sequential stage chain of the blocking DAG, not
+    data). The UNSLICED scale path (no checkpoint of a corpus-sized table,
+    prefilter engaged) is bench.py's dd_embed_cosine_full."""
     e = (
         t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 200)
