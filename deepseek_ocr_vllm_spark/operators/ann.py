@@ -59,14 +59,14 @@ def train_kmeans(
     Each iteration is one broadcast-join assignment (centroids are k rows —
     never a shuffle of the corpus against itself) plus one groupBy mean;
     only the k×dim centroid table is ever collected to the driver, so the
-    loop is shallow-plan and cluster-safe at any corpus size.
+    loop is shallow-plan and cluster-safe at any corpus size. The argmin
+    itself is a min(struct(d2, cell, ...)) hash agg — map-side partial
+    combine shuffles n rows, not the n×k a rank window would.
 
     Returns (centroids, inertia_history): centroids as [(cell, vector)],
     inertia as the per-iteration sum of min assignment scores (shifted by
     the constant Σ‖v‖², so non-increasing exactly like true inertia).
     """
-    from pyspark.sql import Window
-
     spark = embeddings.sparkSession
     emb = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
@@ -91,11 +91,14 @@ def train_kmeans(
                 - 2 * _dot_dec(F.col("embedding"), F.col("centroid"))
             ).alias("d2"),
         )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+        # (d2, cell) is unique per vector, so the lexicographic struct min
+        # IS the (d2, cell)-ordered first row; embedding rides along
         asg = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter("rk = 1")
-            .drop("rk")
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cell", "embedding")).alias("m"))
+            .select("vec_id", F.col("m.d2").alias("d2"),
+                    F.col("m.cell").alias("cell"),
+                    F.col("m.embedding").alias("embedding"))
         )
         agg = asg.select(
             "cell", "d2", F.posexplode("embedding").alias("pos", "v")
@@ -131,23 +134,23 @@ def assign_cells(
 ) -> DataFrame:
     """Nearest-centroid assignment (same decimal ranking as training —
     bit-stable). Adds a `cell` column; use as the quantizer for unlabeled
-    corpora in IVF indexing and embed-cosine dedup blocking."""
-    from pyspark.sql import Window
-
+    corpora in IVF indexing and embed-cosine dedup blocking. argmin is the
+    min(struct) hash agg (see train_kmeans): n rows shuffle, not n×k."""
     spark = embeddings.sparkSession
     cent_df = spark.createDataFrame(
         list(centroids), "cell int, centroid array<double>"
     )
+    rest = [c for c in embeddings.columns if c != id_col]
     scored = embeddings.crossJoin(F.broadcast(cent_df)).withColumn(
         "__d2",
         _dot_dec(F.col("centroid"), F.col("centroid"))
         - 2 * _dot_dec(F.col(vec_col), F.col("centroid")),
     )
-    w = Window.partitionBy(id_col).orderBy("__d2", "cell")
     return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter("__rk = 1")
-        .drop("__rk", "__d2", "centroid")
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct("__d2", "cell", *rest)).alias("__m"))
+        .select(id_col, *[F.col(f"__m.{c}").alias(c) for c in rest],
+                F.col("__m.cell").alias("cell"))
     )
 
 

@@ -669,17 +669,33 @@ def _embed_blocked_pairs(e, max_cell_pop: int, probes: int):
         ])).alias("cs"),
     ).select("vec_id", "label", F.col("cs.cell").alias("cell"),
              F.col("cs.score").alias("score"))
-    probe = (
-        vscore.filter(F.col("cell") != F.col("label"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("score"), "cell")
-            ),
+    nonhome = vscore.filter(F.col("cell") != F.col("label"))
+    if probes - 1 == 1:
+        # top-1 probe (the production default): argmax score / tie-min
+        # cell == min(struct(-score, cell)) — a hash agg whose map-side
+        # partial combine shuffles n rows instead of the rank window's
+        # n×k. Scores come from a decimal fold cast to double, so every
+        # zero is the same +0.0 and negation cannot split a tie.
+        probe = (
+            nonhome.groupBy("vec_id")
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"),
+                                F.col("cell"))).alias("m"))
+            .select("vec_id", F.col("m.cell").alias("cell"))
         )
-        .filter(F.col("rk") <= probes - 1)
-        .select("vec_id", "cell")
-    )
+    elif probes <= 1:
+        probe = nonhome.select("vec_id", "cell").limit(0)
+    else:
+        probe = (
+            nonhome.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(F.desc("score"),
+                                                         "cell")
+                ),
+            )
+            .filter(F.col("rk") <= probes - 1)
+            .select("vec_id", "cell")
+        )
     asg = e.select("vec_id", F.col("label").alias("cell")).unionByName(probe)
     pop = asg.groupBy("cell").agg(F.count("*").alias("cnt"))
     asg2 = asg.join(F.broadcast(pop), "cell").select(
