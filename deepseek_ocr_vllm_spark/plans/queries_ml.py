@@ -619,11 +619,20 @@ def _embed_cosine_oracle() -> str:
     """
 
 
-def _embed_blocked_pairs(e, max_cell_pop: int, probes: int):
+def _embed_blocked_pairs(e, max_cell_pop: int, probes: int,
+                         n_vecs: int | None = None,
+                         broadcast_pairs: bool = False):
     """Candidate-pair generation for dd_embed_cosine: multiprobe cell
     assignment + hot-cell sub-split, all equi-joins. Returns a DataFrame
     (vec_a, vec_b) of DISTINCT candidate pairs. Factored out so the
     skewed-cell test can assert the pair-count bound directly.
+
+    ``n_vecs`` (when the caller already knows it): if n_vecs*probes <=
+    max_cell_pop then NO cell can exceed the cap, the sub-split is
+    provably the identity (sub == 0 for every row), and its population
+    groupBy + join are elided — same rows, two fewer exchanges.
+    ``broadcast_pairs`` hints the self-join's build side — valid only for
+    inputs bounded by construction (the oracle slice).
 
     Centroid scoring is SHUFFLE-FREE on the corpus side: the centroid
     table is k x dim — bounded by the quantizer knob at ANY corpus size —
@@ -697,20 +706,26 @@ def _embed_blocked_pairs(e, max_cell_pop: int, probes: int):
             .select("vec_id", "cell")
         )
     asg = e.select("vec_id", F.col("label").alias("cell")).unionByName(probe)
-    pop = asg.groupBy("cell").agg(F.count("*").alias("cnt"))
-    asg2 = asg.join(F.broadcast(pop), "cell").select(
-        "vec_id",
-        "cell",
-        (
-            F.col("vec_id")
-            % F.ceil(F.col("cnt") / F.lit(float(max_cell_pop))).cast("long")
-        ).alias("sub"),
-    )
+    if n_vecs is not None and n_vecs * probes <= max_cell_pop:
+        # every cell's population is bounded by the total assignment count,
+        # which is already under the cap — sub ≡ 0 by construction
+        asg2 = asg.withColumn("sub", F.lit(0).cast("long"))
+    else:
+        pop = asg.groupBy("cell").agg(F.count("*").alias("cnt"))
+        asg2 = asg.join(F.broadcast(pop), "cell").select(
+            "vec_id",
+            "cell",
+            (
+                F.col("vec_id")
+                % F.ceil(F.col("cnt") / F.lit(float(max_cell_pop))).cast("long")
+            ).alias("sub"),
+        )
     a = asg2.alias("a")
     b = asg2.alias("b")
+    bside = F.broadcast(b) if broadcast_pairs else b
     return (
         a.join(
-            b,
+            bside,
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
@@ -778,7 +793,8 @@ def dd_embed_cosine(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     n_vecs = e.count()  # free: the slice is checkpointed
-    ids = _embed_blocked_pairs(e, _max_cell_pop(), _embed_probes())
+    ids = _embed_blocked_pairs(e, _max_cell_pop(), _embed_probes(),
+                               n_vecs=n_vecs, broadcast_pairs=True)
     return _embed_score_pairs(
         e, ids,
         broadcast_sides=True,

@@ -210,6 +210,23 @@ def test_embed_multiprobe_recovers_cross_cell_pair(spark):
     assert home_only <= probed
 
 
+def test_embed_subsplit_elision_identical(spark):
+    """When n_vecs*probes <= cap the sub-split is provably the identity —
+    eliding its population groupBy must change the PLAN, never the rows."""
+    from deepseek_ocr_vllm_spark.plans.queries_ml import _embed_blocked_pairs
+
+    rows = [(i, str(i % 5), [float(i % 7), 1.0]) for i in range(40)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    base = {(r.vec_a, r.vec_b)
+            for r in _embed_blocked_pairs(e, 500, 2).collect()}
+    elided = {(r.vec_a, r.vec_b)
+              for r in _embed_blocked_pairs(e, 500, 2, n_vecs=40,
+                                            broadcast_pairs=True).collect()}
+    assert base == elided and len(base) > 0
+
+
 def test_embed_prefilter_size_gate(spark, monkeypatch):
     """VERDICT r3 #3: the numpy prefilter is pure fixed cost on toy
     candidate sets — below SPARK_GRAFT_EMBED_PREFILTER_MIN the plan must
