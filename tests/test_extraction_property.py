@@ -71,3 +71,69 @@ def test_golden_equals_vectorized_property(texts):
         # span invariant: end-exclusive, in-bounds
         for s, e, _ in v[1]:
             assert 0 <= s <= e <= len(v[0])
+
+
+# --------------------------------------------------- PDF wire-format round trip
+
+_pdf_words = st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1,
+            max_size=10),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_pdf_words, min_size=1, max_size=6),
+       st.booleans(), st.integers(0, 2))
+def test_pdf_bytes_round_trip_property(lines, compress, kern_mode):
+    """Property: arbitrary word lines → genuine %PDF- bytes (flate or raw,
+    Tj or TJ-with-kerning) → wire-format parse → every word survives in
+    order with the word gaps the geometry implies. Guards the tokenizer,
+    stream delimiting and width-table cursor against whole families of
+    generator quirks, not just the handcrafted fixtures."""
+    import zlib as _z
+
+    from deepseek_ocr_vllm_spark.extraction import golden as _g
+    from deepseek_ocr_vllm_spark.extraction.pdfbytes import (
+        pdf_bytes_to_layout_records)
+
+    def obj(n, body):
+        return f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    ops = [b"BT", b"/F1 10 Tf 72 720 Td"]
+    for words in lines:
+        if kern_mode == 0:
+            ops.append(("(" + " ".join(words) + ") Tj T*").encode())
+        elif kern_mode == 1:  # one Tj per word, explicit kern gaps
+            parts = " ".join(f"({w}) -400" for w in words)
+            ops.append(f"[{parts}] TJ T*".encode())
+        else:  # hex strings
+            hx = " ".join(words).encode().hex()
+            ops.append(f"<{hx}> Tj T*".encode())
+    ops.append(b"ET")
+    stream = b"\n".join(ops)
+    filt = b""
+    if compress:
+        stream, filt = _z.compress(stream), b" /Filter /FlateDecode"
+    pdf = (
+        b"%PDF-1.4\n"
+        + obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + obj(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+        + obj(10, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                  b" /Contents 30 0 R /Resources << /Font <<"
+                  b" /F1 50 0 R >> >> >>")
+        + obj(30, b"<< /Length " + str(len(stream)).encode() + filt
+                  + b" >>\nstream\n" + stream + b"\nendstream")
+        + obj(50, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                  b" /FirstChar 97 /Widths [500] /MissingWidth 500 >>")
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    recs = pdf_bytes_to_layout_records(pdf)
+    out = _g.extract_turn(recs)["clean_text"]
+    # every input word appears, in input order
+    pos = 0
+    for words in lines:
+        for w in words:
+            i = out.find(w, pos)
+            assert i >= 0, (w, out)
+            pos = i + len(w)
