@@ -328,9 +328,14 @@ def dd_minhash_lsh(spark, sf_dir):
     candidates only (broadcast the tiny candidate set against the shingle
     table — the corpus-sized side never self-joins). K and band width come
     from SPARK_GRAFT_MINHASH_* (toy 6/2 for the test oracle, 128/8 at
-    100 TB — see the knob comment above), read at build time."""
+    100 TB — see the knob comment above), read at build time.
+
+    The doc_id<150 oracle slice bounds the shingle set BY CONSTRUCTION, so
+    it is localCheckpoint-ed once for its 4 reuses (minhashes, both verify
+    sides, sizes) — the unsliced dd_minhash_full path stays lazy (a
+    corpus-sized shingle table must never be pinned in executor memory)."""
     n_minhash, rows_per_band = _minhash_cfg()
-    ds = _shingles(spark, sf_dir).distinct()
+    ds = _shingles(spark, sf_dir).distinct().localCheckpoint(eager=True)
     result, _cand = _minhash_from_shingles(spark, ds, n_minhash, rows_per_band)
     return result
 
