@@ -1,13 +1,13 @@
 """Streaming + multimodal queries() entries.
 
 stream_window_counts has a SQL oracle (tumbling window == floor-epoch
-bucketing). mm_media_features' decode stage is a clearly-marked
-deterministic stub over mapInPandas (the point is the Arrow/binary
-plumbing) — but the stub is pure byte arithmetic over the utf-8 payload,
-so its oracle re-derives every feature in SQL from the same spec. The
-byte-level SQL (ascii(), char-class counts) relies on the corpus being
-ASCII, which the fixture probe verified (all docs printable ASCII, so
-byte == char).
+bucketing). mm_media_features decodes REAL wire formats for image (PNG
+sig+IHDR) and audio (RIFF/WAVE chunk walk) rows; only video keeps the
+clearly-marked deterministic stub (pure byte arithmetic over the utf-8
+payload). The oracle re-derives every feature in SQL from the same
+constants/spec. The byte-level SQL (ascii(), char-class counts) relies
+on the corpus being ASCII, which the fixture probe verified (all docs
+printable ASCII, so byte == char).
 """
 
 from __future__ import annotations
