@@ -146,12 +146,19 @@ that is linear in EVERY observed window: local[1]→local[4]. Spark-level
 numbers above include all JVM overhead (scan/shuffle/sort/Arrow/zstd
 write), so the reported efficiency is a lower bound on cluster behavior.
 
-## Scale-up stability (10M turns, single pass — measured round 1)
+## Scale-up stability (10M turns, single pass)
 
-Same job at 6.7x the scaling-evidence volume, auto-sized buckets:
-10,000,107 turns in 87.0 s at local[32] = 114,900 turns/s (~12 GB input),
-bookkeeping-light phases (metrics 1.2 s, checkpoint 1.5 s), 100 sampled
-output turns equal to the golden extractor.
+Same job at 6.7x the scaling-evidence volume, auto-sized buckets.
+Round-1 fast-window measurement: 10,000,107 turns in 87.0 s at local[32]
+= 114,900 turns/s (~12 GB input), bookkeeping-light phases (metrics
+1.2 s, checkpoint 1.5 s), 100 sampled output turns equal to the golden
+extractor. Round-4 re-validation at HEAD: the same 10,000,107 turns
+completed all 32 buckets in 318.4 s (metrics 3.2 s, checkpoint 5.7 s) —
+inside a window whose same-session 200k-turn calibration job ran ~8x
+slower than this round's bench window (36.8 s vs 4.4 s; host load ~15
+with no local process consuming it). Per the discipline below, the
+cross-window throughput is not comparable; the run re-proves
+completion-at-volume and bookkeeping costs at HEAD.
 
 ## Measurement discipline
 
