@@ -334,16 +334,14 @@ def _page_records(content: bytes, fonts: dict[str, dict],
             )
         pend = None
 
-    def emit(raw: bytes) -> None:
-        """Show text at the cursor and ADVANCE it (VERDICT r3 #7): with a
-        declared /Widths (or CID /W) table the advance is the real per-
-        glyph sum, so consecutive show ops land where the PDF put them and
-        the word-gap decision compares against actual geometry; without
-        widths, the average-glyph estimate is kept."""
+    def emit_decoded(txt: str, adv1000: float | None) -> None:
+        """Show decoded text at the cursor and ADVANCE it (VERDICT r3 #7):
+        with a declared /Widths (or CID /W) table the advance is the real
+        per-glyph sum, so consecutive show ops land where the PDF put them
+        and the word-gap decision compares against actual geometry;
+        without widths (adv1000 None), the average-glyph estimate."""
         nonlocal pend, x
-        txt = _decode_text(raw, font)
         size = font_size * abs(scale) or font_size
-        adv1000 = _advance1000(raw, font)
         adv_pts = (adv1000 / 1000.0 * size if adv1000 is not None
                    else _ADV * size * len(txt))
         if not txt:
@@ -366,6 +364,9 @@ def _page_records(content: bytes, fonts: dict[str, dict],
         flush()
         pend = [x, y, size, font["name"], txt, x + adv_pts]
         x += adv_pts
+
+    def emit(raw: bytes) -> None:
+        emit_decoded(_decode_text(raw, font), _advance1000(raw, font))
 
     for kind, val in _tokens(content):
         if kind in ("num", "str", "name"):
@@ -409,18 +410,30 @@ def _page_records(content: bytes, fonts: dict[str, dict],
                 if stack and stack[-1][0] == "str":
                     emit(stack[-1][1])
             elif op == "TJ" and stack and stack[-1][0] == "arr":
-                # with a width table the word-gap cutoff is half the
-                # font's real space width; else the fixed fallback
+                # word-gap cutoff: half the font's real space width when a
+                # SIMPLE font declares one (code 32 == space); CID /W keys
+                # are CIDs, not character codes, so composite fonts keep
+                # the fixed fallback. Parts are decoded PER ELEMENT and
+                # joined text-side — injecting a 1-byte space into a
+                # 2-byte CID code stream would desync every code after it.
                 fw = font.get("widths")
-                thr = (-(fw.get(32, 360.0) / 2) if fw is not None
-                       else TJ_WORD_GAP)
-                parts: list[bytes] = []
+                simple_w = fw is not None and font.get("w", 1) == 1
+                space_w = fw.get(32, 360.0) if simple_w else 360.0
+                thr = -(space_w / 2) if simple_w else TJ_WORD_GAP
+                texts: list[str] = []
+                adv, have_w = 0.0, fw is not None
                 for k2, v2 in stack[-1][1]:
                     if k2 == "str":
-                        parts.append(v2)
+                        texts.append(_decode_text(v2, font))
+                        a = _advance1000(v2, font)
+                        if a is None:
+                            have_w = False
+                        else:
+                            adv += a
                     elif k2 == "num" and v2 < thr:
-                        parts.append(b" ")
-                emit(b"".join(parts))
+                        texts.append(" ")
+                        adv += space_w
+                emit_decoded("".join(texts), adv if have_w else None)
         except (TypeError, ValueError):
             pass  # malformed operand run — skip the operator, keep parsing
         stack.clear()
@@ -442,9 +455,15 @@ def _inflate(raw: bytes) -> bytes | None:
     try:
         # decompressobj tolerates the EOL bytes PDF writers leave
         # between the deflate data and ``endstream``
-        return zlib.decompressobj().decompress(raw)
+        d = zlib.decompressobj()
+        out = d.decompress(raw)
     except zlib.error:
         return None
+    # zlib inflates a truncated PREFIX without raising — it just never
+    # reaches the deflate end-of-stream marker. Reject it (d.eof False)
+    # so a stale-short /Length after an incremental update falls through
+    # to the regex-delimited candidate instead of silently truncating.
+    return out if d.eof else None
 
 
 def _object_stream(body: bytes) -> bytes | None:
@@ -494,7 +513,16 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
             break
         start = m.end()
         end = data.find(b"endobj", start)
-        ms = _STREAM_START_RE.search(data, start, end if end >= 0 else n)
+        if end < 0:
+            # truncated/corrupt object: close it at the NEXT object header
+            # (or EOF) and keep scanning — swallowing the remainder would
+            # drop every later page/font for one broken object
+            nxt = _OBJ_HDR_RE.search(data, start)
+            end = nxt.start() if nxt else n
+            objs[int(m.group(1))] = data[start:end]
+            pos = end
+            continue
+        ms = _STREAM_START_RE.search(data, start, end)
         if ms:
             ml = _LENGTH_RE.search(data[start:ms.start()])
             if ml:
@@ -503,8 +531,6 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
                     e2 = data.find(b"endobj", after)
                     if e2 >= 0:
                         end = e2
-        if end < 0:
-            end = n
         objs[int(m.group(1))] = data[start:end]
         pos = min(end + len(b"endobj"), n)
     return objs

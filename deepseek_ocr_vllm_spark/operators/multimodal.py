@@ -75,6 +75,8 @@ def decode_wav_meta(payload: bytes) -> tuple[int, int, int] | None:
         cid = payload[pos:pos + 4]
         sz = int.from_bytes(payload[pos + 4:pos + 8], "little")
         if cid == b"fmt " and sz >= 16:
+            if pos + 24 > len(payload):  # truncated fmt chunk → not a WAV
+                return None
             _afmt, channels, rate, _brate, block, _bits = struct.unpack(
                 "<HHIIHH", payload[pos + 8:pos + 24])
         elif cid == b"data":

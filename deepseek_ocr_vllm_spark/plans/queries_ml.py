@@ -663,16 +663,11 @@ def _embed_blocked_pairs(e, max_cell_pop: int, probes: int,
                    for cell, m in by_cell.items()}
 
     def score_against(arr):
-        prod = F.zip_with(
-            F.col("embedding"),
-            F.array(*[F.lit(float(v)) for v in arr]),
-            lambda p, c: (p.cast("double") * c).cast("decimal(18,9)"),
-        )
-        return F.aggregate(
-            prod,
-            F.lit(0).cast("decimal(38,9)"),
-            lambda acc, v: (acc + v).cast("decimal(38,9)"),
-        ).cast("double")
+        # the ONE decimal fold (module-level _dot_dec) against the inlined
+        # centroid literal — never a second copy of the bit-exactness-
+        # critical fold
+        return _dot_dec(F.col("embedding"),
+                        F.array(*[F.lit(float(v)) for v in arr]))
 
     vscore = e.select(
         "vec_id", "label",

@@ -46,14 +46,22 @@ def read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     # rename-away and rename-in leaves `path` absent until the next upsert
     # runs _recover_swap — without this, read-only consumers see 'no table'
     # and never trigger healing. RESTORE-ONLY here: rename _old back but
-    # never touch _v2 — a reader landing inside a LIVE writer's swap window
-    # must not delete the fresh uncommitted snapshot (that would make the
-    # writer's commit rename fail); _v2 cleanup stays writer-side, at the
-    # next upsert's _recover_swap.
+    # never touch _v2 — a reader must not delete a fresh uncommitted
+    # snapshot; _v2 cleanup stays writer-side, at the next upsert's
+    # _recover_swap. The rename is race-guarded (two readers healing
+    # concurrently: the loser's source is gone — treat as healed). NOTE:
+    # healing is for CRASHED writers; the emulation's documented contract
+    # remains no-reader-races-an-IN-FLIGHT-writer (a reader restoring the
+    # old snapshot inside a live swap window would still collide with the
+    # writer's commit rename — Iceberg's snapshot isolation is the real
+    # fix at that concurrency level).
     if "://" not in path and not os.path.exists(path):
         old = path + "_old"
         if os.path.exists(old):
-            os.rename(old, path)
+            try:
+                os.rename(old, path)
+            except OSError:
+                pass  # concurrent healer won the rename
     fs, p = hadoop_fs(spark, path)
     if not fs.exists(p):
         return None
@@ -212,25 +220,39 @@ def iceberg_merge_sql(table: str, keys: list[str], compare_cols: list[str],
 
 def iceberg_history_sql(table: str, history_table: str, keys: list[str],
                         compare_cols: list[str], run_id: int,
-                        source_view: str = "updates") -> str:
+                        source_view: str = "updates",
+                        delete_predicate: str | None = None) -> str:
     """Change-history append (T4) as one INSERT ... SELECT over the same
     matched-and-different predicate the MERGE updates — issued BEFORE the
     MERGE so old values are still readable (at-least-once like the
-    reference outbox; the MERGE itself is atomic)."""
+    reference outbox; the MERGE itself is atomic).
+
+    With ``delete_predicate`` (must match the MERGE's DELETE arm), rows
+    the MERGE deletes get change_type='DELETE' with NULL new_values — not
+    an ATTRIBUTE_CHANGE recording values that never land in the table."""
     on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
     diff = " OR ".join(f"NOT (t.{c} <=> s.{c})" for c in compare_cols)
     key_cols = ", ".join(f"s.{k}" for k in keys)
     old_j = ", ".join(f"'{c}', t.{c}" for c in compare_cols)
     new_j = ", ".join(f"'{c}', s.{c}" for c in compare_cols)
+    new_json = f"to_json(named_struct({new_j}))"
+    change = "'ATTRIBUTE_CHANGE'"
+    where = diff
+    if delete_predicate:
+        new_json = (f"CASE WHEN ({delete_predicate}) THEN NULL "
+                    f"ELSE {new_json} END")
+        change = (f"CASE WHEN ({delete_predicate}) THEN 'DELETE' "
+                  f"ELSE 'ATTRIBUTE_CHANGE' END")
+        where = f"({delete_predicate}) OR ({diff})"
     return (
         f"INSERT INTO {history_table}\n"
         f"SELECT {key_cols}, CAST({run_id} AS BIGINT) AS run_id,\n"
         f"       to_json(named_struct({old_j})) AS old_values,\n"
-        f"       to_json(named_struct({new_j})) AS new_values,\n"
-        f"       'ATTRIBUTE_CHANGE' AS change_type,\n"
+        f"       {new_json} AS new_values,\n"
+        f"       {change} AS change_type,\n"
         f"       current_timestamp() AS changed_at\n"
         f"FROM {source_view} s JOIN {table} t ON {on}\n"
-        f"WHERE {diff}"
+        f"WHERE {where}"
     )
 
 
@@ -242,12 +264,15 @@ def iceberg_upsert_with_history(
     compare_cols: list[str],
     history_table: str | None = None,
     run_id: int = 1,
+    delete_predicate: str | None = None,
+    insert_only: bool = False,
 ) -> None:
     """Cluster path for upsert_with_history: one atomic Iceberg MERGE INTO
     (no directory renames, no no-snapshot window). Requires the Iceberg
     runtime jar — absent in this container, so the path is jar-gated like
     the parquet emulation's URI guard is path-gated; the generated SQL is
-    unit-tested either way."""
+    unit-tested either way. ``delete_predicate`` / ``insert_only`` flow to
+    both statements (insert-only has no update arm, hence no history)."""
     if not iceberg_available(spark):
         raise NotImplementedError(
             "Iceberg runtime jar not on the classpath; use "
@@ -255,10 +280,13 @@ def iceberg_upsert_with_history(
             "--packages org.apache.iceberg:iceberg-spark-runtime-*"
         )
     new_df.createOrReplaceTempView("updates")
-    if history_table:
+    if history_table and not insert_only:
         spark.sql(iceberg_history_sql(
-            table, history_table, keys, compare_cols, run_id))
-    spark.sql(iceberg_merge_sql(table, keys, compare_cols))
+            table, history_table, keys, compare_cols, run_id,
+            delete_predicate=delete_predicate))
+    spark.sql(iceberg_merge_sql(table, keys, compare_cols,
+                                delete_predicate=delete_predicate,
+                                insert_only=insert_only))
 
 
 def _recover_swap(path: str) -> None:

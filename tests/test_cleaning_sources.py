@@ -425,7 +425,8 @@ def test_iceberg_sql_golden_shapes(spark):
             view="new_turns", run_id=3),
         "tombstone_delete": dict(
             keys=["vessel_id"], cols=["name", "flag"], view="updates",
-            run_id=2, merge_kwargs=dict(delete_predicate="s.is_deleted")),
+            run_id=2, merge_kwargs=dict(delete_predicate="s.is_deleted"),
+            history_kwargs=dict(delete_predicate="s.is_deleted")),
         "insert_only_outbox": dict(
             keys=["event_id"], cols=[], view="outbox", run_id=None,
             merge_kwargs=dict(insert_only=True)),
@@ -443,7 +444,8 @@ def test_iceberg_sql_golden_shapes(spark):
             continue  # insert-only shape has no update arm → no history
         h = tableio.iceberg_history_sql("db.t", "db.t_hist", s["keys"],
                                         s["cols"], run_id=s["run_id"],
-                                        source_view=s["view"])
+                                        source_view=s["view"],
+                                        **s.get("history_kwargs", {}))
         with open(os.path.join(gold_dir, f"{name}.history.sql")) as f:
             assert h + "\n" == f.read(), f"{name}: history drifted from golden"
         assert parser.parsePlan(h).nodeName() == "InsertIntoStatement"

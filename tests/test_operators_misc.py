@@ -420,3 +420,10 @@ def test_wav_decoder_parses_real_wire_format():
     assert decode_wav_meta(b"RIFF\x00\x00\x00\x00JUNKxxxxxxxxxxxxxxxxxxxx"
                            b"xxxxxxxxxxxxxxxxxxxx") is None
     assert decode_wav_meta(b"plain text payload") is None
+    # truncated fmt chunk: declares sz>=16 but the payload ends first —
+    # must return None (stub fallback), never raise into the Spark task
+    trunc = (b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+             + b"LIST" + struct.pack("<I", 16) + b"INFO" + b"\x00" * 12
+             + b"fmt " + struct.pack("<I", 16) + b"\x01\x00")
+    assert len(trunc) >= 44
+    assert decode_wav_meta(trunc) is None

@@ -117,6 +117,38 @@ def test_filter_array_form_and_length_delimited_streams():
     assert "array filter ok" in g["clean_text"]
 
 
+def test_stale_short_length_falls_back_to_regex_scan():
+    """A stale /Length smaller than the real stream (incremental update)
+    inflates the PREFIX without a zlib error — the parser must detect the
+    missing deflate end-of-stream marker and fall back to the
+    endstream-delimited candidate instead of silently truncating."""
+    ops = b"BT /F1 10 Tf 72 700 Td (full text survives) Tj ET"
+    stream = zlib.compress(ops)
+    content = _obj(30, (
+        b"<< /Length " + str(len(stream) // 2).encode()  # stale-short
+        + b" /Filter /FlateDecode >>\nstream\n" + stream + b"\nendstream"
+    ))
+    pdf = (b"%PDF-1.4\n" + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+           + _obj(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+           + _page(10, 30) + content + _FONT_OBJS
+           + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    g = golden.extract_turn(pdf_bytes_to_layout_records(pdf))
+    assert "full text survives" in g["clean_text"]
+
+
+def test_missing_endobj_does_not_swallow_later_objects():
+    """One truncated object (no endobj — e.g. a cut-off download) must not
+    consume the rest of the file: later pages/fonts still parse."""
+    broken = b"99 0 obj\n<< /Type /Junk >>\n"  # no endobj
+    pdf = (b"%PDF-1.4\n" + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+           + broken
+           + _obj(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+           + _page(10, 30) + _content(30, _PAGE1_OPS) + _FONT_OBJS
+           + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    g = golden.extract_turn(pdf_bytes_to_layout_records(pdf))
+    assert "Annual Vessel Report" in g["clean_text"]
+
+
 def test_non_pdf_bytes_fall_back():
     assert pdf_bytes_to_layout_records(b"just some text") is None
     # PDF magic but no parsable pages → empty records, not a crash
