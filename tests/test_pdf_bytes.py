@@ -242,6 +242,22 @@ def test_objstm_docbook_pdf():
     assert len(g["clean_text"]) > 20000
 
 
+_TEX_PDF = "/usr/share/doc/libtasn1-doc/libtasn1.pdf"
+
+
+@pytest.mark.skipif(not os.path.exists(_TEX_PDF), reason="system doc absent")
+def test_pdftex_manual_pdf():
+    """Fourth third-party generator family: a 263 KB pdfTeX manual
+    (Type1 subset fonts, per-glyph kerning TJ arrays). Full text must
+    come out coherent with real word spacing."""
+    recs = pdf_bytes_to_layout_records(open(_TEX_PDF, "rb").read())
+    assert recs and recs.count("\n") > 2000
+    g = golden.extract_turn(recs)
+    assert "Abstract Syntax Notation One (ASN.1) library" in g["clean_text"]
+    assert "This manual is for GNU Libtasn1" in g["clean_text"]
+    assert len(g["clean_text"]) > 50000
+
+
 _SEAFO_PDF = ("/root/reference/data/raw/vessels/RFMO/raw/"
               "SEAFO_vessels_2025-08-26.pdf")
 
