@@ -69,7 +69,27 @@ def test_no_row_python_and_no_stray_nested_loop(spark, name):
         ), f"{name}: unintended non-equi join\n{plan[:2000]}"
 
 
-def test_broadcast_dim_join_shape(spark):
+def test_full_scale_paths_obey_plan_discipline(spark):
+    """The bench-evidence full-corpus variants share cores with the
+    oracle-gated queries but are built OUTSIDE the registry — lint them
+    too: no row-at-a-time Python anywhere; the only Python stage is the
+    sanctioned MapInPandas prefilter in the embed path."""
+    from deepseek_ocr_vllm_spark.plans.queries_ml import (
+        dd_embed_cosine_full, dd_minhash_full, dd_simhash_full)
+    from deepseek_ocr_vllm_spark.plans.queries_text import t5_fuzzy_full
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    mh_res, mh_cand = dd_minhash_full(spark, SF)
+    sh_res, sh_cand = dd_simhash_full(spark, SF)
+    em_res, em_cand = dd_embed_cosine_full(spark, SF)
+    t5_res, t5_cand = t5_fuzzy_full(spark, SF)
+    for df in (mh_res, mh_cand, sh_res, sh_cand, em_cand, t5_res, t5_cand):
+        assert "BatchEvalPython" not in plan(df)
+    em_plan = plan(em_res)
+    assert "BatchEvalPython" not in em_plan
+    assert "MapInPandas" in em_plan  # prefilter engaged on the scale path
     plan = _physical_plan(spark, "j6_broadcast_dim_join")
     assert "BroadcastHashJoin" in plan
 
