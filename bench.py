@@ -191,12 +191,28 @@ def bench_pdf_extraction(spark) -> dict:
         fixtures.write_pdf_corpus(cache, BENCH_PDF_DOCS)
         open(done_marker, "w").close()
     best = None
-    for _ in range(2):
+    for i in range(2):
         t0 = time.time()
-        n = extract_binary_docs(spark, cache).count()
+        df = extract_binary_docs(spark, cache)
+        n = df.count()
         el = round(time.time() - t0, 3)
         best = el if best is None or el < best else best
-    return {"sec": best, "docs": n, "docs_per_sec": round(n / best, 1)}
+        if i == 0:
+            # certificate (untimed): K sampled outputs must equal the
+            # golden extractor fed by the same wire-format parse — the
+            # pdf analog of the transcript bench's equality sample
+            from deepseek_ocr_vllm_spark.extraction import golden
+            from deepseek_ocr_vllm_spark.extraction.pdfbytes import (
+                pdf_bytes_to_layout_records)
+
+            sample = df.select("path", "clean_text").limit(20).collect()
+            for r in sample:
+                raw = open(r.path.replace("file:", ""), "rb").read()
+                g = golden.extract_turn(pdf_bytes_to_layout_records(raw))
+                assert r.clean_text == g["clean_text"], r.path
+            equality_ok = len(sample) > 0
+    return {"sec": best, "docs": n, "docs_per_sec": round(n / best, 1),
+            "equality_sample_ok": equality_ok}
 
 
 def _sample_equality(spark, cache: str, out: str, k: int = 200) -> bool:
@@ -285,6 +301,7 @@ def main() -> None:
         "per_turn_equality_sample_ok": equality_ok,
         "pdf_docs": pdf["docs"],
         "pdf_docs_per_sec": pdf["docs_per_sec"],
+        "pdf_equality_sample_ok": pdf["equality_sample_ok"],
         # full-corpus dedup/ANN evidence (production knobs, no oracle
         # slices) — kept OUT of `value` so the headline total stays
         # comparable round-over-round
