@@ -77,8 +77,13 @@ def train_kmeans(
     ]
     inertia: list[float] = []
     for _ in range(n_iter):
+        # ‖c‖² is a per-centroid CONSTANT: fold it once driver-side with
+        # _py_dot_dec (the proven bit-identical mirror of the in-plan
+        # decimal fold) instead of re-folding it for every (vector, cell)
+        # row — halves the decimal work of each assignment pass
         cent_df = spark.createDataFrame(
-            [(c, v) for c, v in cents], "cell int, centroid array<double>"
+            [(c, v, float(_py_dot_dec(v, v))) for c, v in cents],
+            "cell int, centroid array<double>, c2 double",
         )
         # argmin_c ‖v-c‖² == argmin_c (‖c‖² - 2·v·c): rank by the decimal
         # fold so ties and near-ties resolve identically on every run
@@ -87,7 +92,7 @@ def train_kmeans(
             "embedding",
             "cell",
             (
-                _dot_dec(F.col("centroid"), F.col("centroid"))
+                F.col("c2")
                 - 2 * _dot_dec(F.col("embedding"), F.col("centroid"))
             ).alias("d2"),
         )
@@ -138,13 +143,13 @@ def assign_cells(
     min(struct) hash agg (see train_kmeans): n rows shuffle, not n×k."""
     spark = embeddings.sparkSession
     cent_df = spark.createDataFrame(
-        list(centroids), "cell int, centroid array<double>"
+        [(c, v, float(_py_dot_dec(v, v))) for c, v in centroids],
+        "cell int, centroid array<double>, c2 double",
     )
     rest = [c for c in embeddings.columns if c != id_col]
     scored = embeddings.crossJoin(F.broadcast(cent_df)).withColumn(
         "__d2",
-        _dot_dec(F.col("centroid"), F.col("centroid"))
-        - 2 * _dot_dec(F.col(vec_col), F.col("centroid")),
+        F.col("c2") - 2 * _dot_dec(F.col(vec_col), F.col("centroid")),
     )
     return (
         scored.groupBy(id_col)
