@@ -177,7 +177,10 @@ def parse_tounicode(raw: bytes) -> tuple[dict[int, str], int]:
             lo_i, hi_i, base = int(lo, 16), int(hi, 16), int(dst, 16)
             width = max(width, len(lo) // 2)
             for c in range(lo_i, min(hi_i, lo_i + 65535) + 1):
-                cmap[c] = chr(base + (c - lo_i))
+                cp = base + (c - lo_i)
+                if cp > 0x10FFFF:  # corrupt range past Unicode — stop
+                    break
+                cmap[c] = chr(cp)
         for lo, arr_body in re.findall(
                 rb"<([0-9A-Fa-f]+)>\s*<[0-9A-Fa-f]+>\s*\[(.*?)\]", body, re.S):
             width = max(width, len(lo) // 2)
@@ -556,8 +559,13 @@ def _expand_objstms(objs: dict[int, bytes]) -> None:
         header = raw[:first].split()
         if len(header) < 2 * n:
             continue
-        nums = [int(v) for v in header[0:2 * n:2]]
-        offs = [int(v) for v in header[1:2 * n:2]]
+        try:
+            # a corrupted stream can inflate to garbage tokens — skip the
+            # ObjStm rather than throw out of the Spark task
+            nums = [int(v) for v in header[0:2 * n:2]]
+            offs = [int(v) for v in header[1:2 * n:2]]
+        except ValueError:
+            continue
         for i, (onum, off) in enumerate(zip(nums, offs)):
             end = first + (offs[i + 1] if i + 1 < len(offs) else
                            len(raw) - first)
@@ -578,7 +586,11 @@ def pdf_bytes_to_layout_records(data: bytes) -> str | None:
         if not re.search(rb"/Type\s*/Page\b", body):
             continue
         mb = _MEDIABOX_RE.search(body) or _MEDIABOX_RE.search(data)
-        page_h = float(mb.group(4)) if mb else 792.0
+        try:
+            # the char-class admits lone '.'/'-' from corrupt boxes
+            page_h = float(mb.group(4)) if mb else 792.0
+        except ValueError:
+            page_h = 792.0
 
         res = body
         rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", body)

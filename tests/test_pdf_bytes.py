@@ -149,6 +149,53 @@ def test_missing_endobj_does_not_swallow_later_objects():
     assert "Annual Vessel Report" in g["clean_text"]
 
 
+def test_corrupt_bytes_never_raise():
+    """The X1 hot path meets damaged PDFs at corpus scale — the parser
+    must degrade (partial/empty records), never throw out of the Spark
+    task. Covers the targeted crash shapes (garbage ObjStm header tokens,
+    bfrange past Unicode, non-numeric MediaBox) plus a seeded random
+    corruption sweep over a valid document."""
+    import random
+
+    def obj(n, body):
+        return f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    g = zlib.compress(b"aa bb cc dd rest of stream")
+    objstm_garbage = obj(5, b"<< /Type /ObjStm /N 2 /First 11 /Length "
+                            + str(len(g)).encode()
+                            + b" /Filter /FlateDecode >>\nstream\n" + g
+                            + b"\nendstream")
+    cmap = zlib.compress(
+        b"beginbfrange <0001> <ffff> <10FFF0> endbfrange")
+    bad_range = (obj(7, b"<< /Length " + str(len(cmap)).encode()
+                     + b" /Filter /FlateDecode >>\nstream\n" + cmap
+                     + b"\nendstream")
+                 + obj(8, b"<< /Type /Font /Subtype /Type0 /BaseFont /X"
+                          b" /ToUnicode 7 0 R >>"))
+    bad_box = obj(10, b"<< /Type /Page /MediaBox [ . - .. - ]"
+                      b" /Contents 30 0 R >>")
+    for payload in (objstm_garbage, bad_range, bad_box):
+        assert pdf_bytes_to_layout_records(b"%PDF-1.4\n" + payload) is not None
+
+    base = _mk_pdf([_PAGE1_OPS, _PAGE1_OPS])
+    rng = random.Random(7)
+    for _ in range(300):
+        b = bytearray(base)
+        mode = rng.randrange(3)
+        if mode == 0:
+            for _ in range(rng.randrange(1, 30)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif mode == 1:
+            i = rng.randrange(len(b))
+            del b[i:min(len(b), i + rng.randrange(1, 400))]
+        else:
+            del b[rng.randrange(1, len(b)):]
+        data = bytes(b)
+        if not data.startswith(b"%PDF-"):
+            data = b"%PDF-" + data
+        pdf_bytes_to_layout_records(data)  # must not raise
+
+
 def test_non_pdf_bytes_fall_back():
     assert pdf_bytes_to_layout_records(b"just some text") is None
     # PDF magic but no parsable pages → empty records, not a crash
