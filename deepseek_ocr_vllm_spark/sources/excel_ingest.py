@@ -187,7 +187,16 @@ def read_registry_excel(spark: SparkSession, path: str,
         for pdf in batches:
             rows_out: dict[str, list] = {c: [] for c in ["__path", *columns]}
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                canon, body = normalize_rows(_parse_workbook(bytes(content)))
+                try:
+                    canon, body = normalize_rows(
+                        _parse_workbook(bytes(content)))
+                except Exception:
+                    # damaged workbook (truncated zip, malformed XML, bad
+                    # sharedString index): contribute no rows instead of
+                    # killing the task — at corpus scale one corrupt file
+                    # must not fail the ingest; a production deployment
+                    # side-outputs these paths (the S8 manifest pattern)
+                    continue
                 idx = {c: i for i, c in enumerate(canon)}
                 for r in body:
                     rows_out["__path"].append(fpath)

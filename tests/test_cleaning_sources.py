@@ -322,10 +322,20 @@ def test_excel_read_end_to_end(spark, tmp_path):
 
     (tmp_path / "reg_sst.xlsx").write_bytes(_make_xlsx(shared_strings=True))
     (tmp_path / "reg_inline.xlsx").write_bytes(_make_xlsx(shared_strings=False))
+    # damaged workbooks must contribute NO rows, never kill the task:
+    # a truncated zip and a zip with malformed sheet XML
+    (tmp_path / "reg_trunc.xlsx").write_bytes(
+        _make_xlsx(shared_strings=True)[:200])
+    import io as _io
+    import zipfile as _zf
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", "<not-xml")
+    (tmp_path / "reg_badxml.xlsx").write_bytes(buf.getvalue())
     cols = ["VESSEL_NAME", "IMO", "FLAG"]
     df = X.read_registry_excel(spark, str(tmp_path), cols)
     got = df.collect()
-    assert len(got) == 6  # 3 body rows per workbook
+    assert len(got) == 6  # 3 body rows per intact workbook; corrupt skipped
     by_file = {}
     for r in got:
         by_file.setdefault(r["__path"].rsplit("/", 1)[-1], []).append(
