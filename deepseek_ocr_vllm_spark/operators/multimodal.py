@@ -65,7 +65,9 @@ def decode_wav_meta(payload: bytes) -> tuple[int, int, int] | None:
     """REAL decoder for WAV header metadata: validate RIFF/WAVE, walk the
     chunk list for 'fmt ' and 'data', return (sample_rate, channels,
     n_frames = data bytes / block align). None for anything that isn't a
-    parseable PCM WAV (caller falls back to the stub)."""
+    parseable PCM WAV (caller falls back to the stub). Reference analog:
+    the media workers fetch and decode real bytes before dispatch
+    (workers/vessel-ner/src/workers/ocr-processor.ts:139-152)."""
     if len(payload) < WAV_HEADER_LEN or not payload.startswith(b"RIFF"):
         return None
     if payload[8:12] != b"WAVE":
