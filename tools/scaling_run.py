@@ -156,9 +156,12 @@ extractor. Round-4 re-validation at HEAD: the same 10,000,107 turns
 completed all 32 buckets in 318.4 s (metrics 3.2 s, checkpoint 5.7 s) —
 inside a window whose same-session 200k-turn calibration job ran ~8x
 slower than this round's bench window (36.8 s vs 4.4 s; host load ~15
-with no local process consuming it). Per the discipline below, the
-cross-window throughput is not comparable; the run re-proves
-completion-at-volume and bookkeeping costs at HEAD.
+with no local process consuming it); a later re-run in a recovered
+window finished in 210.6 s = 47,480 turns/s (metrics 8.1 s, checkpoint
+9.2 s). Per the discipline below, cross-window throughputs are not
+comparable; the runs re-prove completion-at-volume and bookkeeping
+costs at HEAD, with the remaining gap to round-1's figure inside the
+documented 2-4x drift band.
 
 ## Measurement discipline
 
