@@ -139,8 +139,11 @@ def bench_full_scale(spark, sf_dir: str) -> dict[str, dict]:
             n_docs, lambda c: c.first()["n_candidates"])
         run("dd_embed_cosine_full", lambda: dd_embed_cosine_full(spark, sf_dir),
             n_vecs, lambda c: c.count())
+        from deepseek_ocr_vllm_spark.plans.queries_text import (
+            T5_FULL_PROBE_FILTER)
+
         n_probes = (spark.read.parquet(f"{sf_dir}/part.parquet")
-                    .filter("p_partkey % 97 = 3").count())
+                    .filter(T5_FULL_PROBE_FILTER).count())
         run("t5_fuzzy_full", lambda: t5_fuzzy_full(spark, sf_dir),
             n_parts, lambda c: c.count(), allpairs=n_probes * n_parts)
         # unlabeled-corpus path: k-means coarse quantizer TRAINED on the
@@ -175,14 +178,16 @@ def bench_pdf_extraction(spark) -> dict:
     from deepseek_ocr_vllm_spark import fixtures
     from deepseek_ocr_vllm_spark.sources.binary_docs import extract_binary_docs
 
-    # cache key includes a hash of the generator source so fixture edits
-    # invalidate it automatically (the manual-removal trap CLAUDE.md
-    # documents for the transcript caches)
+    # cache key includes a hash of the WHOLE fixtures module source (the
+    # generator calls _sentence/_seed and reads WORDS — hashing only its
+    # own body would miss edits to those), so fixture edits invalidate the
+    # corpus automatically (the manual-removal trap CLAUDE.md documents
+    # for the transcript caches)
     import hashlib
     import inspect
 
     gen_tag = hashlib.sha256(
-        inspect.getsource(fixtures._pdf_binary).encode()).hexdigest()[:8]
+        inspect.getsource(fixtures).encode()).hexdigest()[:8]
     cache = os.path.join(tempfile.gettempdir(),
                          f"bench_pdfs_{BENCH_PDF_DOCS}_{gen_tag}")
     done_marker = os.path.join(cache, ".complete")

@@ -180,6 +180,10 @@ def parse_tounicode(raw: bytes) -> tuple[dict[int, str], int]:
                 cp = base + (c - lo_i)
                 if cp > 0x10FFFF:  # corrupt range past Unicode — stop
                     break
+                if 0xD800 <= cp <= 0xDFFF:
+                    # a lone surrogate survives str but CRASHES at the
+                    # Arrow/utf-8 boundary later — skip, never emit
+                    continue
                 cmap[c] = chr(cp)
         for lo, arr_body in re.findall(
                 rb"<([0-9A-Fa-f]+)>\s*<[0-9A-Fa-f]+>\s*\[(.*?)\]", body, re.S):
@@ -421,7 +425,10 @@ def _page_records(content: bytes, fonts: dict[str, dict],
                 # 2-byte CID code stream would desync every code after it.
                 fw = font.get("widths")
                 simple_w = fw is not None and font.get("w", 1) == 1
-                space_w = fw.get(32, 360.0) if simple_w else 360.0
+                # missing space glyph (subset fonts often drop it): fall
+                # back to the font's declared default width, then 360
+                space_w = (fw.get(32, font.get("default_w", 360.0))
+                           if simple_w else 360.0)
                 thr = -(space_w / 2) if simple_w else TJ_WORD_GAP
                 texts: list[str] = []
                 adv, have_w = 0.0, fw is not None
@@ -487,11 +494,25 @@ def _object_stream(body: bytes) -> bytes | None:
     if mr and mr.group(1) not in candidates:
         candidates.append(mr.group(1))
     if not candidates:
-        return None
+        # file cut off inside the stream: no endstream, and the declared
+        # length overshoots — the rest of the object IS the (truncated)
+        # data; the partial-inflate fallback below recovers its prefix
+        candidates.append(body[start:])
     if _FLATE_RE.search(head):
         for raw in candidates:
             out = _inflate(raw)
             if out is not None:
+                return out
+        # NO candidate reached the deflate end marker (file truncated
+        # mid-stream): recover the inflatable PREFIX instead of dropping
+        # the whole stream — strictness only helps while a complete
+        # candidate remains to fall back to
+        for raw in candidates:
+            try:
+                out = zlib.decompressobj().decompress(raw)
+            except zlib.error:
+                continue
+            if out:
                 return out
         return None
     return candidates[0]
@@ -515,18 +536,12 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
         if not m:
             break
         start = m.end()
-        end = data.find(b"endobj", start)
-        if end < 0:
-            # truncated/corrupt object: close it at the NEXT object header
-            # (or EOF) and keep scanning — swallowing the remainder would
-            # drop every later page/font for one broken object
-            nxt = _OBJ_HDR_RE.search(data, start)
-            end = nxt.start() if nxt else n
-            objs[int(m.group(1))] = data[start:end]
-            pos = end
-            continue
-        ms = _STREAM_START_RE.search(data, start, end)
+        se = data.find(b"endobj", start)
+        ms = _STREAM_START_RE.search(data, start, se if se >= 0 else n)
         if ms:
+            # stream object: trust the declared extent over any
+            # header-looking byte runs inside the data
+            end = se
             ml = _LENGTH_RE.search(data[start:ms.start()])
             if ml:
                 after = ms.end() + int(ml.group(1))
@@ -534,8 +549,28 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
                     e2 = data.find(b"endobj", after)
                     if e2 >= 0:
                         end = e2
-        objs[int(m.group(1))] = data[start:end]
-        pos = min(end + len(b"endobj"), n)
+            if end < 0:
+                end = n
+            objs[int(m.group(1))] = data[start:end]
+            pos = min(end + len(b"endobj"), n)
+            continue
+        # plain dict object: if the next object header appears BEFORE the
+        # next endobj, THIS object lost its endobj (truncation/corruption)
+        # — close it at that header and resync there, so the following
+        # page/font objects survive. setdefault: a truncated body must
+        # never clobber a previously parsed real object of the same
+        # number (normal closes below keep last-wins for incremental
+        # updates).
+        nxt = _OBJ_HDR_RE.search(data, start)
+        if nxt is not None and (se < 0 or nxt.start() < se):
+            objs.setdefault(int(m.group(1)), data[start:nxt.start()])
+            pos = nxt.start()
+            continue
+        if se < 0:
+            objs.setdefault(int(m.group(1)), data[start:n])
+            break
+        objs[int(m.group(1))] = data[start:se]
+        pos = min(se + len(b"endobj"), n)
     return objs
 
 

@@ -934,6 +934,12 @@ def _trigram_best_match(pn, tn):
     return best, inter
 
 
+# probe-selection predicate for the bench-scale run — bench.py computes
+# its probes x targets baseline from the SAME constant, so the two can't
+# drift apart
+T5_FULL_PROBE_FILTER = "p_partkey % 97 = 3"
+
+
 def t5_fuzzy_full(spark, sf_dir):
     """Bench-scale evidence run (VERDICT r3 #2): the same trigram
     fuzzy-match over the part table — 20k names at sf0.1 vs the oracle's
@@ -944,7 +950,7 @@ def t5_fuzzy_full(spark, sf_dir):
     from ..functions.strings import strip_accents_sql
 
     part = t(spark, sf_dir, "part")
-    probes = part.filter("p_partkey % 97 = 3").select(
+    probes = part.filter(T5_FULL_PROBE_FILTER).select(
         F.col("p_partkey").alias("probe_key"),
         F.translate(F.expr("substr(p_name, 4)"), "aeo", "äéö")
         .alias("probe_raw"),

@@ -138,15 +138,57 @@ def test_stale_short_length_falls_back_to_regex_scan():
 
 def test_missing_endobj_does_not_swallow_later_objects():
     """One truncated object (no endobj — e.g. a cut-off download) must not
-    consume the rest of the file: later pages/fonts still parse."""
+    consume the NEXT object: the scan closes the broken dict at the next
+    object header. The broken object sits IMMEDIATELY before the page
+    object, so absorption would lose the page's text entirely (the first
+    version of this fix only fired when no endobj existed anywhere later —
+    the mid-file case is the common one)."""
     broken = b"99 0 obj\n<< /Type /Junk >>\n"  # no endobj
     pdf = (b"%PDF-1.4\n" + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
-           + broken
            + _obj(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+           + broken
            + _page(10, 30) + _content(30, _PAGE1_OPS) + _FONT_OBJS
            + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
     g = golden.extract_turn(pdf_bytes_to_layout_records(pdf))
     assert "Annual Vessel Report" in g["clean_text"]
+
+
+def test_corrupt_bfrange_never_emits_surrogates():
+    """A hostile/corrupt ToUnicode bfrange mapping into U+D800-DFFF must
+    not leak lone surrogates into the records — they survive Python str
+    but CRASH at the Arrow/utf-8 boundary of the Spark task."""
+    cmap = zlib.compress(
+        b"begincmap beginbfrange <41> <43> <D7FF> endbfrange endcmap")
+    font = (_obj(60, b"<< /Length " + str(len(cmap)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + cmap
+                + b"\nendstream")
+            + _obj(50, b"<< /Type /Font /Subtype /Type1 /BaseFont /X"
+                       b" /ToUnicode 60 0 R >>"))
+    ops = b"BT /F1 10 Tf 72 700 Td (ABC) Tj ET"
+    pdf = (b"%PDF-1.4\n" + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+           + _obj(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+           + _page(10, 30, fonts=b"/F1 50 0 R") + _content(30, ops) + font
+           + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    recs = pdf_bytes_to_layout_records(pdf)
+    assert not any(0xD800 <= ord(ch) <= 0xDFFF for ch in recs)
+    recs.encode("utf-8")  # must not raise (the Arrow boundary check)
+
+
+def test_truncated_mid_stream_recovers_prefix():
+    """A file cut off INSIDE a flate content stream (no end-of-stream
+    marker, no endstream) must still yield the inflatable prefix — total
+    loss only when nothing inflates at all."""
+    ops = (b"BT /F1 10 Tf 72 700 Td (recoverable text here) Tj T*\n"
+           + b"(filler line) Tj T*\n" * 50 + b"ET")
+    stream = zlib.compress(ops)
+    body = (b"<< /Length " + str(len(stream)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + stream)
+    pdf = (b"%PDF-1.4\n" + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+           + _obj(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+           + _page(10, 30) + b"30 0 obj\n" + body + _FONT_OBJS)
+    pdf = pdf[:pdf.find(b"stream\n") + 7 + len(stream) - 8]  # cut the tail
+    g = golden.extract_turn(pdf_bytes_to_layout_records(pdf))
+    assert "recoverable text here" in g["clean_text"]
 
 
 def test_corrupt_bytes_never_raise():

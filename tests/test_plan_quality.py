@@ -90,6 +90,9 @@ def test_full_scale_paths_obey_plan_discipline(spark):
     em_plan = plan(em_res)
     assert "BatchEvalPython" not in em_plan
     assert "MapInPandas" in em_plan  # prefilter engaged on the scale path
+
+
+def test_broadcast_dim_join_shape(spark):
     plan = _physical_plan(spark, "j6_broadcast_dim_join")
     assert "BroadcastHashJoin" in plan
 
