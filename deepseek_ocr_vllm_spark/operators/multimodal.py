@@ -152,7 +152,9 @@ def mp4_header_parts() -> tuple[bytes, bytes]:
                              0x40000000)         # unity matrix
     mvhd_post += b"\x00" * 24                    # pre_defined
     mvhd_post += struct.pack(">I", 2)            # next_track_id
-    tkhd = struct.pack(">BBBB", 0, 7, 0, 0)      # version, flags=enabled
+    # 24-bit FullBox flags are big-endian: enabled|in_movie|in_preview=7
+    # must sit in the LAST byte
+    tkhd = struct.pack(">BBBB", 0, 0, 0, 7)      # version, flags
     tkhd += struct.pack(">IIII", 0, 0, 1, 0)     # times, track_id, rsvd
     tkhd += struct.pack(">I", 0)                 # duration (const 0)
     tkhd += b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
@@ -169,26 +171,39 @@ def mp4_header_parts() -> tuple[bytes, bytes]:
     return prefix, mid
 
 
+MP4_MDAT_TAG = b"mdat"
+
+
 def mp4_header(data_size: int) -> bytes:
     """Full header for tests/oracle: duration stamped = data_size (frame
     count at the fixture timescale), then the mdat box header."""
     pre, mid = mp4_header_parts()
     return (pre + struct.pack(">I", data_size) + mid
-            + struct.pack(">I", data_size + 8) + b"mdat")
+            + struct.pack(">I", data_size + 8) + MP4_MDAT_TAG)
 
 
 def decode_mp4_meta(payload: bytes) -> tuple[int, int, int] | None:
     """REAL decoder for MP4 header metadata: walk top-level ISO-BMFF
-    boxes, then moov's children, read mvhd duration and tkhd 16.16
-    width/height. Returns (width, height, duration-in-ticks) or None for
-    anything that isn't parseable ISO-BMFF (caller falls back)."""
+    boxes (incl. the legal size==1 64-bit largesize and size==0
+    box-to-EOF forms), then moov's children, read mvhd duration (v0 and
+    v1 layouts) and tkhd 16.16 width/height. Returns (width, height,
+    duration-in-ticks) or None for anything that isn't parseable ISO-BMFF
+    (caller falls back)."""
     def walk(buf, pos, end):
         while pos + 8 <= end:
             sz = int.from_bytes(buf[pos:pos + 4], "big")
             typ = buf[pos + 4:pos + 8]
-            if sz < 8 or pos + sz > end:
+            body = pos + 8
+            if sz == 1:  # 64-bit largesize follows the type
+                if pos + 16 > end:
+                    return
+                sz = int.from_bytes(buf[pos + 8:pos + 16], "big")
+                body = pos + 16
+            elif sz == 0:  # box extends to the end of the enclosure
+                sz = end - pos
+            if sz < body - pos or pos + sz > end:
                 return
-            yield typ, pos + 8, pos + sz
+            yield typ, body, pos + sz
             pos += sz
 
     n = len(payload)
@@ -199,8 +214,14 @@ def decode_mp4_meta(payload: bytes) -> tuple[int, int, int] | None:
         if typ != b"moov":
             continue
         for t2, s2, e2 in walk(payload, s, e):
-            if t2 == b"mvhd" and e2 - s2 >= 20:
-                dur = int.from_bytes(payload[s2 + 16:s2 + 20], "big")
+            if t2 == b"mvhd":
+                ver = payload[s2] if e2 > s2 else 255
+                if ver == 0 and e2 - s2 >= 20:
+                    dur = int.from_bytes(payload[s2 + 16:s2 + 20], "big")
+                elif ver == 1 and e2 - s2 >= 32:
+                    # v1: 8-byte creation/modification times + 4-byte
+                    # timescale precede an 8-byte duration
+                    dur = int.from_bytes(payload[s2 + 24:s2 + 32], "big")
             elif t2 == b"trak":
                 for t3, s3, e3 in walk(payload, s2, e2):
                     if t3 == b"tkhd" and e3 - s3 >= 84:
@@ -248,7 +269,7 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
             # real ISO-BMFF: ftyp + moov(mvhd with per-row duration =
             # media byte count + trak/tkhd dims) + mdat header + bytes
             F.concat(F.lit(mp4_pre), _be4(dlen), F.lit(mp4_mid),
-                     _be4(dlen + 8), F.lit(b"mdat"), src)
+                     _be4(dlen + 8), F.lit(MP4_MDAT_TAG), src)
         )
     )
     return df.select(

@@ -1,10 +1,9 @@
 """Streaming + multimodal queries() entries.
 
 stream_window_counts has a SQL oracle (tumbling window == floor-epoch
-bucketing). mm_media_features decodes REAL wire formats for image (PNG
-sig+IHDR) and audio (RIFF/WAVE chunk walk) rows; only video keeps the
-clearly-marked deterministic stub (pure byte arithmetic over the utf-8
-payload). The oracle re-derives every feature in SQL from the same
+bucketing). mm_media_features decodes REAL wire formats for every
+content type — PNG sig+IHDR, RIFF/WAVE chunk walk, ISO-BMFF box walk —
+and the oracle re-derives every feature in SQL from the same
 constants/spec. The byte-level SQL (ascii(), char-class counts) relies
 on the corpus being ASCII, which the fixture probe verified (all docs
 printable ASCII, so byte == char).
@@ -78,7 +77,7 @@ def _mm_oracle() -> str:
     # stamps, so the oracle stays in lockstep with the wire format by
     # construction
     from ..operators.multimodal import (
-        MP4_FIXTURE_DIMS, PNG_FIXTURE_DIMS, WAV_BLOCK_ALIGN,
+        MP4_FIXTURE_DIMS, MP4_MDAT_TAG, PNG_FIXTURE_DIMS, WAV_BLOCK_ALIGN,
         WAV_FIXTURE_CHANNELS, WAV_FIXTURE_RATE, WAV_HEADER_LEN, WAV_MID,
         mp4_header, mp4_header_parts, png_header)
 
@@ -86,7 +85,7 @@ def _mm_oracle() -> str:
     lp = len(prefix)
     mp4_pre, mp4_mid = mp4_header_parts()
     lv = len(mp4_header(0))  # full video envelope length at any size
-    mp4_fixed_mid = sum(1 for b in mp4_pre + mp4_mid + b"mdat"
+    mp4_fixed_mid = sum(1 for b in mp4_pre + mp4_mid + MP4_MDAT_TAG
                         if (b >> 6) == 1)
     vw, vh = MP4_FIXTURE_DIMS
     # envelope bin-1 counts use the SAME bin definition as the decoder's

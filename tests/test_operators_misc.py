@@ -381,7 +381,7 @@ def test_png_decoder_parses_real_wire_format():
 
 def test_media_features_real_png_path(spark):
     """The gated mm pipeline must report the fixture dims (from REAL IHDR
-    parsing) for image rows and stub dims for the rest."""
+    parsing) for image rows and real WAV/MP4 header metadata for the rest."""
     from deepseek_ocr_vllm_spark.operators.multimodal import (
         PNG_FIXTURE_DIMS, attach_binary_payload, extract_media_features)
 
@@ -423,6 +423,25 @@ def test_mp4_decoder_parses_real_wire_format():
     assert decode_mp4_meta(shuffled) == (640, 360, 10)
     assert decode_mp4_meta(b"plain text payload ............") is None
     assert decode_mp4_meta(mp4_header(50)[:60]) is None
+
+    # v1 mvhd (8-byte times + 8-byte duration) and a 64-bit largesize
+    # mdat before moov — both legal ISO-BMFF forms real muxers emit
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd_v1 = (struct.pack(">BBBB", 1, 0, 0, 0)
+               + struct.pack(">QQIQ", 0, 0, 600, 777)  # times, ts, dur
+               + b"\x00" * 80)
+    tkhd = (struct.pack(">BBBB", 0, 0, 0, 7) + struct.pack(">IIII", 0, 0, 1, 0)
+            + struct.pack(">I", 0) + b"\x00" * 16
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)
+            + struct.pack(">II", 320 << 16, 200 << 16))
+    moov = box(b"moov", box(b"mvhd", mvhd_v1) + box(b"trak", box(b"tkhd", tkhd)))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200))
+    big_mdat = (struct.pack(">I", 1) + b"mdat"
+                + struct.pack(">Q", 16 + 4) + b"DATA")
+    assert decode_mp4_meta(ftyp + big_mdat + moov) == (320, 200, 777)
 
 
 def test_wav_decoder_parses_real_wire_format():
