@@ -31,6 +31,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "t5_fuzzy_trigram_search",
     "tx_quality",
+    "mm_media_features",
     "stream_window_counts",
 ]
 
