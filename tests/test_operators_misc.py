@@ -444,6 +444,29 @@ def test_mp4_decoder_parses_real_wire_format():
     assert decode_mp4_meta(ftyp + big_mdat + moov) == (320, 200, 777)
 
 
+def test_png_decoder_on_third_party_files():
+    """Real PNGs we did not author (system icons) must decode through the
+    same wire-format path the fixture envelopes use."""
+    import os
+
+    import pytest as _pytest
+
+    from deepseek_ocr_vllm_spark.operators.multimodal import decode_png_dims
+
+    candidates = [
+        "/usr/share/gitweb/static/git-logo.png",
+        "/usr/share/doc/python3/_static/file.png",
+    ]
+    found = [p for p in candidates if os.path.exists(p)]
+    if not found:
+        _pytest.skip("no system PNGs present")
+    for p in found:
+        dims = decode_png_dims(open(p, "rb").read())
+        assert dims is not None
+        w, h = dims
+        assert 0 < w < 10000 and 0 < h < 10000
+
+
 def test_wav_decoder_parses_real_wire_format():
     """VERDICT r3 #6: decode_wav_meta must walk the RIFF chunk list (not
     assume a fixed 44-byte layout — a LIST chunk before 'data' is legal),
