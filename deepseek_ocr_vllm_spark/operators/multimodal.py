@@ -21,6 +21,7 @@ import struct
 import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -284,12 +285,14 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _byte_hist(payload: bytes) -> list[float]:
-    """4-bin byte histogram over the real payload bytes."""
-    hist = [0, 0, 0, 0]
-    for byte in payload:
-        hist[byte >> 6] += 1
+    """4-bin byte histogram over the real payload bytes — vectorized
+    (VERDICT r4 #1): at 100 TB this runs over every media byte, so no
+    per-byte Python. np.bincount over ``b >> 6`` is bit-identical to the
+    old loop: integer counts divided by the float length."""
+    a = np.frombuffer(payload, dtype=np.uint8)
+    counts = np.bincount(a >> 6, minlength=4)
     n = float(len(payload))
-    return [h / n for h in hist]
+    return [c / n for c in counts.tolist()]
 
 
 def _fake_decode(payload: bytes, content_type: str) -> tuple[int, int, int, list[float]]:

@@ -10,12 +10,14 @@ from . import queries_stream as _qs  # noqa: F401
 from . import queries_text as _qt  # noqa: F401
 from .queries import REGISTRY, TABLES  # noqa: F401
 
-# The driver's correctness gate records the first 50 enumerated queries and
-# the registry holds 51, so exactly one entry only ever gets the local
-# checker. Keep every DISTINCT operator inside the recorded window:
-# x7_ner_label_counts is a derivative view of x7_ner_spans (same extractor,
-# weaker oracle — counts instead of offsets), so it takes the overflow slot
-# instead of t5_fuzzy_trigram_search (the only §2.3 T5 entry).
-_OVERFLOW = "x7_ner_label_counts"
-if _OVERFLOW in REGISTRY and next(reversed(REGISTRY)) != _OVERFLOW:
-    REGISTRY[_OVERFLOW] = REGISTRY.pop(_OVERFLOW)
+# The driver's correctness gate records the first 50 enumerated queries.
+# The registry is kept at EXACTLY 50 (VERDICT r4 #6) so nothing ever sits
+# in an unrecorded overflow slot: x7_ner_label_counts (a derivative view of
+# x7_ner_spans — same extractor, weaker oracle) moved to a pytest
+# (tests/test_ner_guardrails.py) that runs the identical DuckDB comparison.
+# Any future registration past 50 trips this assert instead of silently
+# evicting an operator from the driver's recorded window.
+assert len(REGISTRY) <= 50, (
+    f"REGISTRY has {len(REGISTRY)} entries; the driver gate records only "
+    "the first 50 — fold derivative views into pytest instead"
+)

@@ -765,12 +765,17 @@ def _x7_counts_oracle() -> str:
     """
 
 
-@q("x7_ner_label_counts", _x7_counts_oracle())
 def x7_ner_label_counts(spark, sf_dir):
     """X7 match-semantics oracle: per-(doc, label) span counts from the
     REAL extractor (chunked + offset-remapped + deduped) must equal plain
     whole-text regex counts in DuckDB — proving the chunk/overlap machinery
-    neither drops nor duplicates matches."""
+    neither drops nor duplicates matches.
+
+    NOT registered in REGISTRY (VERDICT r4 #6): the driver gate records
+    only 50 queries and this is a derivative view of the gated
+    x7_ner_spans; its DuckDB comparison runs as a pytest
+    (tests/test_ner_guardrails.py::test_x7_label_counts_match_duckdb)
+    via the same type-faithful checker as tools/check_oracle.py."""
     from ..operators.ner import extract_spans
 
     return (

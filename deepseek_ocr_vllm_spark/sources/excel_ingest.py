@@ -183,6 +183,17 @@ def read_registry_excel(spark: SparkSession, path: str,
     out_schema = ", ".join(
         ["`__path` string"] + [f"`{c}` string" for c in columns])
 
+    # the CORRUPTION exception surface of both parser backends (stdlib
+    # zip+XML and openpyxl): truncated/garbled zip, malformed XML, bad
+    # sharedString index, out-of-range cell refs. Deliberately NOT a bare
+    # Exception — a programming regression in normalize_rows must fail the
+    # ingest loudly, not silently drop every workbook (ADVICE r4).
+    import xml.etree.ElementTree as _ET
+    import zipfile as _zipfile
+
+    _CORRUPT = (_zipfile.BadZipFile, _ET.ParseError, KeyError, IndexError,
+                ValueError, TypeError, OSError)
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows_out: dict[str, list] = {c: [] for c in ["__path", *columns]}
@@ -190,9 +201,8 @@ def read_registry_excel(spark: SparkSession, path: str,
                 try:
                     canon, body = normalize_rows(
                         _parse_workbook(bytes(content)))
-                except Exception:
-                    # damaged workbook (truncated zip, malformed XML, bad
-                    # sharedString index): contribute no rows instead of
+                except _CORRUPT:
+                    # damaged workbook: contribute no rows instead of
                     # killing the task — at corpus scale one corrupt file
                     # must not fail the ingest; a production deployment
                     # side-outputs these paths (the S8 manifest pattern)

@@ -188,3 +188,31 @@ def test_money_overlong_digit_run_never_matches():
     text = "pay " + "9" * 25 + " USD now, but 42 EUR is fine"
     got = [r[5] for r in extract_spans_text(1, text) if r[2] == "MONEY"]
     assert got == ["42 EUR"]
+
+
+def test_x7_label_counts_match_duckdb(spark):
+    """The x7_ner_label_counts derivative view (de-registered in r5 to keep
+    REGISTRY at the driver's 50-entry window, VERDICT r4 #6): per-(doc,
+    label) counts from the REAL chunked extractor must equal whole-text RE2
+    counts in DuckDB — same comparison tools/check_oracle.py ran when this
+    was the overflow registry slot, now pinned here instead."""
+    import duckdb
+
+    from tools.check_oracle import canon_rows
+    from deepseek_ocr_vllm_spark.plans.queries_text import (
+        _x7_counts_oracle, x7_ner_label_counts)
+
+    sdf = x7_ner_label_counts(spark, SF)
+    s_cols, s_rows = canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    cur = con.execute(_x7_counts_oracle())
+    d_cols = [d[0] for d in cur.description]
+    d_cols, d_rows = canon_rows(d_cols, cur.fetchall())
+    assert s_cols == d_cols
+    assert len(s_rows) > 0
+    assert s_rows == d_rows

@@ -125,3 +125,30 @@ def test_pipeline_single_shuffle(spark, transcripts_path, tmp_path):
     # must appear BEFORE the Arrow node in the plan string
     udf_at = max(plan.find("MapInArrow"), plan.find("PythonMapInArrow"))
     assert plan.index("Exchange") < udf_at, plan
+
+
+def test_dd_exact_single_exchange(spark):
+    """dd_exact's claim to scale is ONE shuffle: sha256 map-side, then a
+    single hash-partitioned partial+final agg (VERDICT r4 #8). A second
+    hash exchange would mean the dedup re-shuffles the corpus (the
+    rangepartitioning for the presentation ORDER BY is not a data
+    shuffle of the corpus — partial agg output only)."""
+    plan = _physical_plan(spark, "dd_exact")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan  # map-side combine engaged
+
+
+def test_mm_media_features_map_in_pandas_only(spark):
+    """mm_media_features is pure plumbing: scan → JVM envelope concat →
+    one MapInPandas decode — no shuffle at all before the final presentation
+    sort, and never row-at-a-time Python (VERDICT r4 #8)."""
+    plan = _physical_plan(spark, "mm_media_features")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    # the only exchange allowed is the rangepartitioning for the
+    # presentation ORDER BY — nothing hash-partitions the payload bytes
+    import re
+
+    hash_ex = [ln for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln]
+    assert not hash_ex, plan
