@@ -1,0 +1,141 @@
+"""Property-based hostile-header fuzzing for the media wire-format
+decoders (VERDICT r4 #7) — the WAV chunk walk and the ISO-BMFF box walk
+have size-arithmetic edge cases (word alignment, largesize, box-to-EOF)
+that only fuzzing pins. Contract under ANY bytes: decode-or-None, never
+an exception; and a VALID envelope must never be misparsed, including
+after trailing garbage.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deepseek_ocr_vllm_spark.operators.multimodal import (
+    decode_mp4_meta, decode_png_dims, decode_wav_meta, mp4_header,
+    wav_header)
+
+raw_bytes = st.binary(max_size=300)
+
+# bytes biased toward structure: magic tags + packed sizes so the fuzzer
+# actually reaches the chunk/box walks instead of bailing at the signature
+_tags = st.sampled_from(
+    [b"RIFF", b"WAVE", b"fmt ", b"data", b"LIST", b"ftyp", b"moov",
+     b"mvhd", b"trak", b"tkhd", b"mdat", b"free", b"IHDR",
+     b"\x89PNG\r\n\x1a\n"])
+_sizes = st.one_of(
+    st.integers(0, 2**32 - 1).map(lambda v: struct.pack("<I", v)),
+    st.integers(0, 2**32 - 1).map(lambda v: struct.pack(">I", v)),
+    st.integers(0, 2**64 - 1).map(lambda v: struct.pack(">Q", v)),
+)
+structured_bytes = st.lists(
+    st.one_of(_tags, _sizes, st.binary(max_size=20)), max_size=20
+).map(b"".join)
+
+any_bytes = st.one_of(raw_bytes, structured_bytes)
+
+
+@settings(max_examples=400, deadline=None)
+@given(any_bytes)
+def test_decoders_never_raise_on_arbitrary_bytes(payload):
+    for dec in (decode_wav_meta, decode_mp4_meta, decode_png_dims):
+        out = dec(payload)
+        assert out is None or isinstance(out, tuple)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 5000), st.binary(max_size=64), st.integers(0, 400))
+def test_valid_wav_survives_tail_and_truncation(data_size, tail, cut):
+    """A well-formed WAV header must decode to the STAMPED values no
+    matter what follows the data chunk header; any truncation must give
+    decode-or-None (declared sizes are never trusted past the buffer)."""
+    full = wav_header(data_size) + b"\x00" * min(data_size, 64) + tail
+    assert decode_wav_meta(full) == (16000, 1, data_size // 2)
+    trunc = full[: min(cut, len(full))]
+    out = decode_wav_meta(trunc)
+    assert out is None or out == (16000, 1, data_size // 2)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 5000), st.binary(max_size=64), st.integers(0, 500))
+def test_valid_mp4_survives_tail_and_truncation(data_size, tail, cut):
+    full = mp4_header(data_size) + b"\x00" * min(data_size, 64) + tail
+    assert decode_mp4_meta(full) == (640, 360, data_size)
+    trunc = full[: min(cut, len(full))]
+    out = decode_mp4_meta(trunc)
+    assert out is None or out == (640, 360, data_size)
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+_hostile_box = st.one_of(
+    # declared size overshoots the buffer
+    st.builds(lambda t, n: struct.pack(">I", n) + t,
+              st.sampled_from([b"moov", b"mdat", b"free", b"trak"]),
+              st.integers(9, 2**32 - 1)),
+    # zero-size (box-to-EOF) anywhere, not just last
+    st.builds(lambda t, b: struct.pack(">I", 0) + t + b,
+              st.sampled_from([b"free", b"mdat", b"moov"]),
+              st.binary(max_size=24)),
+    # largesize with a lying 64-bit size (incl. < 16 and enormous)
+    st.builds(lambda t, n, b: struct.pack(">I", 1) + t
+              + struct.pack(">Q", n) + b,
+              st.sampled_from([b"mdat", b"moov", b"free"]),
+              st.one_of(st.integers(0, 20), st.integers(2**31, 2**63)),
+              st.binary(max_size=24)),
+    # nested largesize: a moov whose child lies about its largesize
+    st.builds(lambda n: _box(b"moov", struct.pack(">I", 1) + b"mvhd"
+                             + struct.pack(">Q", n) + b"\x00" * 24),
+              st.integers(0, 2**40)),
+    # truncated size/type fields
+    st.binary(max_size=7),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_hostile_box, min_size=1, max_size=5), st.booleans())
+def test_mp4_walk_hostile_boxes(boxes, with_ftyp):
+    """Hostile box sequences — oversized declared sizes, zero-size boxes
+    mid-stream, lying largesizes, truncated headers — must terminate (no
+    infinite loop) and decode-or-None."""
+    prefix = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200)) if with_ftyp \
+        else b""
+    out = decode_mp4_meta(prefix + b"".join(boxes))
+    assert out is None or isinstance(out, tuple)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.one_of(
+    # chunk with lying size (overshoot / odd sizes exercise word alignment)
+    st.builds(lambda t, n, b: t + struct.pack("<I", n) + b,
+              st.sampled_from([b"fmt ", b"data", b"LIST", b"junk"]),
+              st.integers(0, 2**32 - 1), st.binary(max_size=24)),
+    st.binary(max_size=7),
+), min_size=1, max_size=5))
+def test_wav_walk_hostile_chunks(chunks):
+    payload = b"RIFF" + struct.pack("<I", 0) + b"WAVE" + b"".join(chunks)
+    out = decode_wav_meta(payload)
+    assert out is None or isinstance(out, tuple)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 5000), st.integers(0, 5000), st.integers(0, 60),
+       st.binary(max_size=30))
+def test_mutated_valid_envelopes_decode_or_none(w, dsz, flip_at, junk):
+    """Byte-flip mutations of valid envelopes: the decoders may reject
+    (None) or parse whatever consistent header survives, but never raise
+    and never loop."""
+    from deepseek_ocr_vllm_spark.operators.multimodal import png_header
+
+    for env in (png_header(max(w, 1), 1), wav_header(dsz),
+                mp4_header(dsz)):
+        buf = bytearray(env + junk)
+        if flip_at < len(buf):
+            buf[flip_at] ^= 0xFF
+        for dec in (decode_png_dims, decode_wav_meta, decode_mp4_meta):
+            out = dec(bytes(buf))
+            assert out is None or isinstance(out, tuple)
