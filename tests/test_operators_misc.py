@@ -380,10 +380,12 @@ def test_png_decoder_parses_real_wire_format():
 
 
 def test_media_features_real_png_path(spark):
-    """The gated mm pipeline must report the fixture dims (from REAL IHDR
-    parsing) for image rows and real WAV/MP4 header metadata for the rest."""
+    """The gated mm pipeline must report REAL decoded metadata: image
+    rows a complete 1-row grayscale PNG decoded down to pixels (r5 —
+    width = byte count, content_mean = exact mean byte value), plus real
+    WAV/MP4 header metadata for the rest."""
     from deepseek_ocr_vllm_spark.operators.multimodal import (
-        PNG_FIXTURE_DIMS, attach_binary_payload, extract_media_features)
+        attach_binary_payload, extract_media_features)
 
     docs = spark.createDataFrame(
         [(0, "alpha beta"), (1, "gamma delta"), (2, "epsilon")],
@@ -391,9 +393,16 @@ def test_media_features_real_png_path(spark):
     )
     rows = {r.doc_id: r for r in
             extract_media_features(attach_binary_payload(docs)).collect()}
-    assert (rows[0].width, rows[0].height) == PNG_FIXTURE_DIMS
+    img = b"alpha beta"
+    assert (rows[0].width, rows[0].height) == (len(img), 1)
     assert rows[0].n_frames == 1
-    assert rows[0].size_bytes == len("alpha beta") + 33
+    assert rows[0].size_bytes == len(img) + 69
+    assert rows[0].content_mean == sum(img) / len(img)  # REAL pixels
+    # content_mean for audio/video = mean of the PCM/mdat bytes
+    au = b"gamma delta"
+    assert rows[1].content_mean == sum(au) / len(au)
+    vi = b"epsilon"
+    assert rows[2].content_mean == sum(vi) / len(vi)
     # audio row: REAL RIFF/WAVE envelope parsed back (r3 #6)
     assert (rows[1].width, rows[1].height) == (16000, 1)
     assert rows[1].size_bytes == len("gamma delta") + 44
@@ -453,18 +462,51 @@ def test_png_decoder_on_third_party_files():
 
     from deepseek_ocr_vllm_spark.operators.multimodal import decode_png_dims
 
+    from deepseek_ocr_vllm_spark.operators.multimodal import decode_png_content
+
     candidates = [
-        "/usr/share/gitweb/static/git-logo.png",
-        "/usr/share/doc/python3/_static/file.png",
+        "/usr/share/gitweb/static/git-logo.png",       # palette, depth 8
+        "/usr/share/doc/python3/_static/file.png",     # RGBA
+        "/usr/share/doc/python3/_static/minus.png",    # grayscale
+        "/usr/share/gitweb/static/git-favicon.png",    # palette, depth 2
     ]
     found = [p for p in candidates if os.path.exists(p)]
     if not found:
         _pytest.skip("no system PNGs present")
     for p in found:
-        dims = decode_png_dims(open(p, "rb").read())
+        raw = open(p, "rb").read()
+        dims = decode_png_dims(raw)
         assert dims is not None
         w, h = dims
         assert 0 < w < 10000 and 0 < h < 10000
+        # r5: FULL content decode (inflate + unfilter + palette) agrees
+        # with the header on dims and yields a plausible real pixel stat
+        full = decode_png_content(raw)
+        assert full is not None, p
+        fw, fh, luma = full
+        assert (fw, fh) == (w, h)
+        assert 0.0 <= luma <= 255.0
+
+
+def test_png_content_decode_round_trip_and_rejection():
+    """png_envelope → decode_png_content recovers the EXACT bytes as
+    pixels (single- and multi-stored-block), and strict decode rejects a
+    corrupted CRC / truncated IDAT instead of misparsing."""
+    from deepseek_ocr_vllm_spark.operators.multimodal import (
+        decode_png_content, png_envelope)
+
+    data = bytes(range(32, 127)) * 3
+    env = png_envelope(data)
+    assert decode_png_content(env) == (len(data), 1, sum(data) / len(data))
+    big = bytes(range(256)) * 300  # scanline > one stored block (65535)
+    w, h, m = decode_png_content(png_envelope(big))
+    assert (w, h) == (len(big), 1) and abs(m - sum(big) / len(big)) < 1e-9
+    # flip a pixel byte: chunk CRC no longer matches → strict decode None
+    bad = bytearray(env)
+    bad[50] ^= 0xFF
+    assert decode_png_content(bytes(bad)) is None
+    # truncated IDAT (declared length overruns buffer) → None
+    assert decode_png_content(env[:-20]) is None
 
 
 def test_wav_decoder_parses_real_wire_format():
