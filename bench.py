@@ -221,6 +221,125 @@ def bench_pdf_extraction(spark) -> dict:
             "equality_sample_ok": equality_ok}
 
 
+def bench_dedup_scaling(spark) -> dict:
+    """VERDICT r4 #5: the banded dedup/ANN family one order of magnitude
+    up — a deterministic 10× statistical twin of the driver corpus
+    (fixtures.write_scaled_corpus: resampled unigram/length distributions
+    + the base corpus's seeded dup structure) — so candidate-pair growth
+    vs sf0.1 is MEASURED, not argued from cap arithmetic. Single run per
+    family (pair counts are deterministic; the sf0.1 best-of-2 numbers in
+    full_scale carry the timing discipline). Read side by side with
+    full_scale: all-pairs grows 100×; minhash/embed/t5 candidates grow
+    ~10× (linear — the caps hold), while simhash's lossless-recall
+    pigeonhole banding is NOT collision-capped and its candidates track
+    this tiny-vocab corpus's band-collision rate (~15% of all-pairs at
+    BOTH scales) — reported, not hidden, per the no-silent-caps rule.
+    embed_pairs_unlabeled is omitted here: training-dominated, covered at
+    sf0.1."""
+    import hashlib
+    import inspect
+
+    from deepseek_ocr_vllm_spark import fixtures
+    from deepseek_ocr_vllm_spark.plans.queries_ml import (
+        dd_embed_cosine_full, dd_minhash_full, dd_simhash_full)
+    from deepseek_ocr_vllm_spark.plans.queries_text import (
+        T5_FULL_PROBE_FILTER, t5_fuzzy_full)
+
+    gen_tag = hashlib.sha256(
+        inspect.getsource(fixtures).encode()).hexdigest()[:8]
+    sf1 = os.path.join(tempfile.gettempdir(), f"bench_sf1_{gen_tag}")
+    done_marker = os.path.join(sf1, ".complete")
+    if not os.path.exists(done_marker):
+        shutil.rmtree(sf1, ignore_errors=True)
+        fixtures.write_scaled_corpus(sf1)
+        open(done_marker, "w").close()
+
+    out: dict[str, dict] = {}
+    saved = {k: os.environ.get(k) for k in FULL_KNOBS}
+    os.environ.update(FULL_KNOBS)
+    try:
+        n_docs = spark.read.parquet(f"{sf1}/documents.parquet").count()
+        n_vecs = spark.read.parquet(f"{sf1}/embeddings.parquet").count()
+        n_parts = spark.read.parquet(f"{sf1}/part.parquet").count()
+        n_probes = (spark.read.parquet(f"{sf1}/part.parquet")
+                    .filter(T5_FULL_PROBE_FILTER).count())
+
+        def run(name, builder, n_inputs, cand_counter, allpairs=None):
+            t0 = time.time()
+            result, cand = builder()
+            n_res = result.count()
+            el = round(time.time() - t0, 3)
+            out[name] = {
+                "sec": el, "inputs": n_inputs, "result_rows": n_res,
+                "candidate_pairs": cand_counter(cand),
+                "allpairs_equivalent": (
+                    allpairs if allpairs is not None
+                    else n_inputs * (n_inputs - 1) // 2),
+            }
+
+        run("dd_minhash_full", lambda: dd_minhash_full(spark, sf1),
+            n_docs, lambda c: c.count())
+        run("dd_simhash_full", lambda: dd_simhash_full(spark, sf1),
+            n_docs, lambda c: c.first()["n_candidates"])
+        run("dd_embed_cosine_full",
+            lambda: dd_embed_cosine_full(spark, sf1),
+            n_vecs, lambda c: c.count())
+        run("t5_fuzzy_full", lambda: t5_fuzzy_full(spark, sf1),
+            n_parts, lambda c: c.count(), allpairs=n_probes * n_parts)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return {"scale_vs_base": 10, "docs": n_docs, "vecs": n_vecs,
+            "parts": n_parts, "families": out}
+
+
+def bench_media_scale(spark) -> dict:
+    """VERDICT r4 #3: the multimodal decode path at REALISTIC payload
+    sizes (64 KB – 4 MB; the sf0.1 fixtures are ~1.2 KB, hiding every
+    size-dependent cost). Per size class: full extract_media_features run
+    (real PNG pixel decode incl. multi-stored-block inflate + unfilter,
+    WAV/MP4 walks, vectorized byte histogram) → MB/s. Roughly FLAT MB/s
+    across classes is the evidence the per-byte work is vectorized
+    (r4 #1) and header parsing is O(1) in payload size."""
+    import hashlib
+    import inspect
+
+    from deepseek_ocr_vllm_spark import fixtures
+    from deepseek_ocr_vllm_spark.operators import multimodal
+    from deepseek_ocr_vllm_spark.operators.multimodal import (
+        extract_media_features)
+
+    gen_tag = hashlib.sha256(
+        (inspect.getsource(fixtures)
+         + inspect.getsource(multimodal)).encode()).hexdigest()[:8]
+    cache = os.path.join(tempfile.gettempdir(), f"bench_media_{gen_tag}")
+    done_marker = os.path.join(cache, ".complete")
+    if not os.path.exists(done_marker):
+        shutil.rmtree(cache, ignore_errors=True)
+        fixtures.write_media_scale_corpus(cache)
+        open(done_marker, "w").close()
+    out: dict[str, dict] = {}
+    for size, _count in fixtures.MEDIA_SCALE_SPEC:
+        sub = os.path.join(cache, f"size_{size}")
+        src = spark.read.parquet(sub)
+        mb = (src.selectExpr("sum(length(payload)) AS b").first().b
+              / (1024 * 1024))
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            n = extract_media_features(src).count()
+            el = round(time.time() - t0, 3)
+            best = el if best is None or el < best else best
+        out[f"{size // 1024}k"] = {
+            "sec": best, "rows": n, "mb": round(mb, 1),
+            "mb_per_sec": round(mb / best, 1),
+        }
+    return out
+
+
 def _sample_equality(spark, cache: str, out: str, k: int = 200) -> bool:
     """North-rule certificate: K sampled output turns must equal the golden
     extractor on the same input (the full-table equality lives in pytest;
@@ -294,6 +413,8 @@ def main() -> None:
     pdf = bench_pdf_extraction(spark)
     queries["pdf_binary_extraction"] = pdf["sec"]
     full = bench_full_scale(spark, sf_dir)
+    media_scale = bench_media_scale(spark)
+    dedup_scaling = bench_dedup_scaling(spark)
     ext_sec, ext_turns, turns_per_sec, equality_ok = bench_extraction(spark)
     total = round(sum(queries.values()) + ext_sec, 3)
     print(json.dumps({
@@ -313,6 +434,12 @@ def main() -> None:
         # comparable round-over-round
         "full_scale": full,
         "full_scale_sec": round(sum(v["sec"] for v in full.values()), 3),
+        # realistic-payload media decode (64 KB – 4 MB) — MB/s per size
+        # class; kept OUT of `value` like full_scale
+        "mm_media_scale": media_scale,
+        # candidate-pair growth one order of magnitude up (10× statistical
+        # twin) — read against full_scale for the scaling curve
+        "dedup_scaling_sf1": dedup_scaling,
         "cpus": int(cpus),
     }))
 

@@ -440,9 +440,16 @@ def _page_records(content: bytes, fonts: dict[str, dict],
                             have_w = False
                         else:
                             adv += a
-                    elif k2 == "num" and v2 < thr:
-                        texts.append(" ")
-                        adv += space_w
+                    elif k2 == "num":
+                        # TRUE TJ geometry (ADVICE r4): every numeric
+                        # element moves the cursor by -v2 thousandths —
+                        # small kerns included, else end_x drifts over
+                        # long kerned runs and flips later word-gap
+                        # decisions. The threshold only decides whether
+                        # the gap READS as a space character.
+                        adv -= v2
+                        if v2 < thr:
+                            texts.append(" ")
                 emit_decoded("".join(texts), adv if have_w else None)
         except (TypeError, ValueError):
             pass  # malformed operand run — skip the operator, keep parsing
@@ -519,6 +526,9 @@ def _object_stream(body: bytes) -> bytes | None:
 
 
 _OBJ_HDR_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+# what legally follows the last declared stream byte: optional EOL,
+# 'endstream', whitespace, 'endobj'
+_STREAM_TAIL_RE = re.compile(rb"[\r\n \t]*endstream[\r\n \t]*endobj")
 
 
 def _scan_objects(data: bytes) -> dict[int, bytes]:
@@ -540,15 +550,21 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
         ms = _STREAM_START_RE.search(data, start, se if se >= 0 else n)
         if ms:
             # stream object: trust the declared extent over any
-            # header-looking byte runs inside the data
+            # header-looking byte runs inside the data — but only when
+            # the bytes at the declared end actually look like the
+            # 'endstream…endobj' trailer (whitespace + markers only). A
+            # corrupt OVER-declared /Length that still fits in the file
+            # would otherwise jump past a LATER object's endobj and
+            # silently absorb every intervening object (ADVICE r4; only
+            # stale-SHORT lengths were handled before).
             end = se
             ml = _LENGTH_RE.search(data[start:ms.start()])
             if ml:
                 after = ms.end() + int(ml.group(1))
                 if after <= n:
-                    e2 = data.find(b"endobj", after)
-                    if e2 >= 0:
-                        end = e2
+                    mt = _STREAM_TAIL_RE.match(data, after)
+                    if mt:
+                        end = mt.end() - len(b"endobj")
             if end < 0:
                 end = n
             objs[int(m.group(1))] = data[start:end]

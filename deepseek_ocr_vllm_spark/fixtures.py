@@ -353,3 +353,174 @@ def write_pdf_corpus(path: str, n_docs: int, seed: int = 42) -> str:
         with open(os.path.join(path, f"doc_{i:05d}.pdf"), "wb") as f:
             f.write(_pdf_binary(rng))
     return path
+
+
+MEDIA_SCALE_SPEC = (
+    (65536, 96), (262144, 48), (1048576, 24), (4194304, 24))
+
+
+def write_media_scale_corpus(path: str,
+                             spec=MEDIA_SCALE_SPEC,
+                             seed: int = 20260817) -> str:
+    """Deterministic REALISTIC-size media corpus (VERDICT r4 #3): sf0.1
+    media payloads are ~1.2 KB, real media are MBs — size-dependent decode
+    costs (byte histogram, envelope walk, Arrow transfer) are invisible at
+    bench scale without this. One parquet per size class under
+    ``path/size_<bytes>/``, rows shaped exactly like
+    attach_binary_payload's output (doc_id, payload, meta struct) with
+    genuine envelopes: multi-stored-block PNGs (png_envelope), RIFF/WAVE,
+    ISO-BMFF — cycled per row like the fixture corpus."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .operators.multimodal import mp4_header, png_envelope, wav_header
+
+    rng = np.random.RandomState(seed)
+    doc_id = 0
+    for size, count in spec:
+        rows = {"doc_id": [], "payload": [], "meta": []}
+        for _ in range(count):
+            data = rng.bytes(size)
+            kind = doc_id % 3
+            if kind == 0:
+                payload, ct = png_envelope(data), "image/png"
+            elif kind == 1:
+                payload, ct = wav_header(len(data)) + data, "audio/wav"
+            else:
+                payload, ct = mp4_header(len(data)) + data, "video/mp4"
+            rows["doc_id"].append(doc_id)
+            rows["payload"].append(payload)
+            rows["meta"].append({
+                "content_type": ct,
+                "size_bytes": len(payload),
+                "sha16": hashlib.sha256(data).hexdigest()[:16],
+            })
+            doc_id += 1
+        sub = os.path.join(path, f"size_{size}")
+        os.makedirs(sub, exist_ok=True)
+        schema = pa.schema([
+            pa.field("doc_id", pa.int64()),
+            pa.field("payload", pa.binary()),
+            pa.field("meta", pa.struct([
+                pa.field("content_type", pa.string()),
+                pa.field("size_bytes", pa.int64()),
+                pa.field("sha16", pa.string()),
+            ])),
+        ])
+        pq.write_table(pa.Table.from_pydict(rows, schema=schema),
+                       os.path.join(sub, "media.parquet"))
+    return path
+
+
+def write_scaled_corpus(path: str, base_dir: str = "/root/testdata/sf0.1",
+                        scale: int = 10, seed: int = 7) -> str:
+    """Deterministic SCALE× corpus fitted to the driver testdata's
+    empirical distributions (VERDICT r4 #5: the dedup/ANN candidate-pair
+    growth curve needs a second, bigger scale and the driver ships none
+    past sf0.1). Statistical twin, not a copy:
+
+    * documents — text resampled from the base corpus's unigram
+      frequency + empirical length distribution (the tiny shared vocab is
+      exactly what gives the base corpus its shingle/minhash collision
+      statistics, so similarity structure carries over);
+    * embeddings — per-label diagonal-Gaussian fit, L2-normalized (the
+      base vectors are unit-norm label clusters);
+    * part — per-column empirical resampling (p_name's two word pools
+      drawn independently, preserving trigram collision rates for t5).
+    """
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.RandomState(seed)
+
+    docs = pq.read_table(f"{base_dir}/documents.parquet").to_pandas()
+    tokens = [t.split() for t in docs["text"]]
+    lengths = np.array([len(t) for t in tokens])
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tokens])
+    vocab, counts = np.unique(flat.astype(str), return_counts=True)
+    p = counts / counts.sum()
+    n_docs = len(docs) * scale
+    lens = rng.choice(lengths, size=n_docs)
+    words = rng.choice(vocab, size=int(lens.sum()), p=p)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    texts = [" ".join(words[offs[i]:offs[i + 1]]) for i in range(n_docs)]
+    # the base corpus carries SEEDED duplicate structure (probed at sf0.1:
+    # 8/5000 exact dups, ~198 shared-120-char-prefix near-dup groups) —
+    # the minhash/simhash candidate counts exist BECAUSE of it, so the
+    # scaled twin reproduces the same per-doc rates: ~4% near-dups (clone
+    # an earlier doc, resample ~10% of its words) and ~0.16% exact dups.
+    n_near = int(round(0.04 * n_docs))
+    n_exact = int(round(0.0016 * n_docs))
+    victims = rng.choice(n_docs, size=n_near + n_exact, replace=False)
+    for j, vi in enumerate(victims):
+        src_i = int(rng.randint(0, n_docs))
+        if j < n_exact:
+            texts[vi] = texts[src_i]
+        else:
+            toks = texts[src_i].split()
+            k = max(1, len(toks) // 10)
+            for pos in rng.choice(len(toks), size=min(k, len(toks)),
+                                  replace=False):
+                toks[pos] = str(rng.choice(vocab))
+            texts[vi] = " ".join(toks)
+    langs = docs["lang"].to_numpy()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(rng.choice(langs, size=n_docs), pa.string()),
+        "source": pa.array([f"src{i % 20}" for i in range(n_docs)],
+                           pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{path}/documents.parquet")
+
+    emb = pq.read_table(f"{base_dir}/embeddings.parquet").to_pandas()
+    vecs = np.stack(emb["embedding"].to_numpy())
+    labels = emb["label"].to_numpy()
+    out_v, out_l = [], []
+    for lab in np.unique(labels):
+        sel = vecs[labels == lab]
+        n_out = len(sel) * scale
+        gen = rng.normal(sel.mean(axis=0), sel.std(axis=0) + 1e-9,
+                         size=(n_out, sel.shape[1]))
+        gen /= np.linalg.norm(gen, axis=1, keepdims=True)
+        out_v.append(gen.astype(np.float32))
+        out_l.append(np.full(n_out, lab))
+    allv = np.concatenate(out_v)
+    alll = np.concatenate(out_l)
+    order = rng.permutation(len(allv))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(allv)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in allv[order]],
+                              pa.list_(pa.float32())),
+        "label": pa.array(alll[order].astype(np.int32), pa.int32()),
+    }), f"{path}/embeddings.parquet")
+
+    part = pq.read_table(f"{base_dir}/part.parquet").to_pandas()
+    n_part = len(part) * scale
+    w1 = np.array([n.split()[0] for n in part["p_name"]])
+    w2 = np.array([n.split()[-1] for n in part["p_name"]])
+    names = [f"{a} {b}" for a, b in
+             zip(rng.choice(w1, size=n_part), rng.choice(w2, size=n_part))]
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(range(n_part), pa.int64()),
+        "p_name": pa.array(names, pa.string()),
+        "p_brand": pa.array(rng.choice(part["p_brand"].to_numpy(),
+                                       size=n_part), pa.string()),
+        "p_type": pa.array(rng.choice(part["p_type"].to_numpy(),
+                                      size=n_part), pa.string()),
+        "p_size": pa.array(rng.choice(part["p_size"].to_numpy(),
+                                      size=n_part).astype(np.int32),
+                           pa.int32()),
+        "p_retailprice": pa.array(
+            rng.choice(part["p_retailprice"].to_numpy(), size=n_part),
+            pa.float64()),
+    }), f"{path}/part.parquet")
+    return path

@@ -140,7 +140,28 @@ def assign_cells(
     """Nearest-centroid assignment (same decimal ranking as training —
     bit-stable). Adds a `cell` column; use as the quantizer for unlabeled
     corpora in IVF indexing and embed-cosine dedup blocking. argmin is the
-    min(struct) hash agg (see train_kmeans): n rows shuffle, not n×k."""
+    min(struct) hash agg (see train_kmeans): n rows shuffle, not n×k.
+
+    Ride-along columns travel INSIDE the min(struct) comparator (a keyed
+    re-join would cost a second shuffle); the (__d2, cell) prefix fully
+    decides the ordering — within one vec_id group every row carries the
+    same ride-along values, so they never influence the argmin — but
+    Spark still requires every struct field to be ORDERABLE (no map
+    columns), and a pre-existing 'cell'/'__d2' column would silently
+    corrupt the comparator, so both are rejected loudly here (ADVICE r4)."""
+    reserved = {"cell", "__d2"} & set(embeddings.columns)
+    if reserved:
+        raise ValueError(
+            f"assign_cells: input columns {sorted(reserved)} collide with "
+            "the comparator fields; rename them before assignment")
+    from pyspark.sql.types import MapType
+
+    unorderable = [f.name for f in embeddings.schema.fields
+                   if isinstance(f.dataType, MapType)]
+    if unorderable:
+        raise ValueError(
+            f"assign_cells: map-typed columns {unorderable} are not "
+            "orderable inside the argmin struct; drop or re-encode them")
     spark = embeddings.sparkSession
     cent_df = spark.createDataFrame(
         [(c, v, float(_py_dot_dec(v, v))) for c, v in centroids],

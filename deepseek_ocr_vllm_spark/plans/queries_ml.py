@@ -547,6 +547,17 @@ def _embed_probes() -> int:
     return int(os.environ.get("SPARK_GRAFT_EMBED_PROBES", "2"))
 
 
+def _embed_inline_max_cells() -> int:
+    """Quantizer-size bound for the inlined-literal centroid scoring
+    (ADVICE r4): up to this many cells the centroids are collected and
+    inlined as plan literals (shuffle-free, one decimal fold per cell in
+    the expression tree); above it the SAME fold runs through a broadcast
+    join against the centroid table so the Catalyst tree stays O(1) in k.
+    Both paths emit bit-identical scores — this is a plan-size knob, not a
+    semantics knob."""
+    return int(os.environ.get("SPARK_GRAFT_EMBED_INLINE_MAX_CELLS", "64"))
+
+
 def _prefilter_min_vecs() -> int:
     """Input-vector-count threshold below which dd_embed_cosine SKIPS the
     numpy prefilter (VERDICT r3 #3). The prefilter ships every candidate's
@@ -662,22 +673,43 @@ def _embed_blocked_pairs(e, max_cell_pop: int, probes: int,
     cent_arrays = {cell: [m[p] for p in sorted(m)]
                    for cell, m in by_cell.items()}
 
-    def score_against(arr):
-        # the ONE decimal fold (module-level _dot_dec) against the inlined
-        # centroid literal — never a second copy of the bit-exactness-
-        # critical fold
-        return _dot_dec(F.col("embedding"),
-                        F.array(*[F.lit(float(v)) for v in arr]))
+    if len(cent_arrays) <= _embed_inline_max_cells():
+        # inline-literal scoring: k x dim literal doubles in the plan —
+        # shuffle-free, but the Catalyst expression tree grows one decimal
+        # fold per cell, so it is BOUNDED by the knob (ADVICE r4: an
+        # unbounded quantizer k would bloat the tree the project's
+        # linear-tree invariant guards against)
+        def score_against(arr):
+            # the ONE decimal fold (module-level _dot_dec) against the
+            # inlined centroid literal — never a second copy of the
+            # bit-exactness-critical fold
+            return _dot_dec(F.col("embedding"),
+                            F.array(*[F.lit(float(v)) for v in arr]))
 
-    vscore = e.select(
-        "vec_id", "label",
-        F.explode(F.array(*[
-            F.struct(F.lit(cell).alias("cell"),
-                     score_against(arr).alias("score"))
-            for cell, arr in sorted(cent_arrays.items())
-        ])).alias("cs"),
-    ).select("vec_id", "label", F.col("cs.cell").alias("cell"),
-             F.col("cs.score").alias("score"))
+        vscore = e.select(
+            "vec_id", "label",
+            F.explode(F.array(*[
+                F.struct(F.lit(cell).alias("cell"),
+                         score_against(arr).alias("score"))
+                for cell, arr in sorted(cent_arrays.items())
+            ])).alias("cs"),
+        ).select("vec_id", "label", F.col("cs.cell").alias("cell"),
+                 F.col("cs.score").alias("score"))
+    else:
+        # broadcast-join fallback above the bound: the k x dim centroid
+        # table broadcasts (still no corpus-side shuffle) and the SAME
+        # decimal fold runs against the centroid COLUMN — identical
+        # scores, plan size O(1) in k
+        cent_df = e.sparkSession.createDataFrame(
+            [(cell, [float(v) for v in arr])
+             for cell, arr in sorted(cent_arrays.items())],
+            ["cell", "centroid"])
+        vscore = (
+            e.crossJoin(F.broadcast(cent_df))
+            .select("vec_id", "label", "cell",
+                    _dot_dec(F.col("embedding"),
+                             F.col("centroid")).alias("score"))
+        )
     nonhome = vscore.filter(F.col("cell") != F.col("label"))
     if probes - 1 == 1:
         # top-1 probe (the production default): argmax score / tie-min

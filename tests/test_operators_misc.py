@@ -537,3 +537,49 @@ def test_wav_decoder_parses_real_wire_format():
              + b"fmt " + struct.pack("<I", 16) + b"\x01\x00")
     assert len(trunc) >= 44
     assert decode_wav_meta(trunc) is None
+
+
+def test_assign_cells_rejects_reserved_and_unorderable_columns(spark):
+    """ADVICE r4: ride-alongs travel inside the argmin struct, so a
+    pre-existing 'cell'/'__d2' column or a map-typed column must fail
+    loudly at the API edge, not at Catalyst analysis (or worse, silently
+    corrupt the comparator)."""
+    import pytest as _pytest
+
+    from deepseek_ocr_vllm_spark.operators.ann import assign_cells
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    bad_name = spark.createDataFrame(
+        [(1, [0.9, 0.1], 7)], ["vec_id", "embedding", "cell"])
+    with _pytest.raises(ValueError, match="collide"):
+        assign_cells(bad_name, cents)
+    bad_map = spark.createDataFrame(
+        [(1, [0.9, 0.1], {"a": 1})],
+        "vec_id long, embedding array<double>, attrs map<string,int>")
+    with _pytest.raises(ValueError, match="orderable"):
+        assign_cells(bad_map, cents)
+    # the happy path still assigns and keeps ride-alongs
+    ok = spark.createDataFrame(
+        [(1, [0.9, 0.1], "x"), (2, [0.1, 0.8], "y")],
+        ["vec_id", "embedding", "tag"])
+    rows = {r.vec_id: r for r in assign_cells(ok, cents).collect()}
+    assert rows[1].cell == 0 and rows[2].cell == 1
+    assert rows[1].tag == "x" and rows[2].tag == "y"
+
+
+def test_embed_centroid_broadcast_fallback_matches_inline(spark, monkeypatch):
+    """ADVICE r4: above SPARK_GRAFT_EMBED_INLINE_MAX_CELLS the centroid
+    scoring switches from inlined plan literals to a broadcast join —
+    same decimal fold, bit-identical candidate pairs."""
+    from deepseek_ocr_vllm_spark.plans.queries_ml import _embed_blocked_pairs
+
+    rows = [(i, f"c{i % 5}", [float(i % 7), float(i % 3), 1.0])
+            for i in range(40)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>")
+    inline = {(r.vec_a, r.vec_b) for r in
+              _embed_blocked_pairs(e, max_cell_pop=10, probes=2).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_EMBED_INLINE_MAX_CELLS", "0")
+    bcast = {(r.vec_a, r.vec_b) for r in
+             _embed_blocked_pairs(e, max_cell_pop=10, probes=2).collect()}
+    assert inline == bcast and len(inline) > 0

@@ -136,6 +136,29 @@ def test_stale_short_length_falls_back_to_regex_scan():
     assert "full text survives" in g["clean_text"]
 
 
+def test_overdeclared_length_does_not_absorb_later_objects():
+    """ADVICE r4: a corrupt OVER-declared /Length that still fits in the
+    file used to jump past a LATER object's endobj, silently absorbing the
+    page/font objects in between. The declared extent is only trusted when
+    the bytes there actually read 'endstream…endobj'; otherwise the scan
+    falls back to the first-endobj candidate and the later objects
+    survive."""
+    ops = b"BT /F1 10 Tf 72 700 Td (later objects survive) Tj ET"
+    stream = zlib.compress(ops)
+    content = _obj(30, (
+        b"<< /Length " + str(len(stream) + 120).encode()  # overshoots
+        + b" /Filter /FlateDecode >>\nstream\n" + stream + b"\nendstream"
+    ))
+    # the page + font objects come AFTER the corrupt stream object, inside
+    # the over-declared extent
+    pdf = (b"%PDF-1.4\n" + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+           + _obj(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+           + content + _page(10, 30) + _FONT_OBJS
+           + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    g = golden.extract_turn(pdf_bytes_to_layout_records(pdf))
+    assert "later objects survive" in g["clean_text"]
+
+
 def test_missing_endobj_does_not_swallow_later_objects():
     """One truncated object (no endobj — e.g. a cut-off download) must not
     consume the NEXT object: the scan closes the broken dict at the next
