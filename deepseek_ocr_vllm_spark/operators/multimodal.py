@@ -15,8 +15,10 @@ grayscale/RGB/RGBA/palette forms). RIFF/WAVE 'fmt ' + 'data' chunk walk
 ftyp, moov/mvhd duration, trak/tkhd 16.16 dims) yield header metadata
 plus the content byte ranges (PCM / mdat) that feed ``content_mean``.
 ``_fake_decode`` survives only as the fallback for payloads whose header
-doesn't parse. Audio-sample/video-frame CONTENT decode still needs
-ffmpeg in production — that is the one remaining stub.
+doesn't parse. Audio CONTENT decodes too (r5, ``_pcm_rms``): PCM is
+uncompressed, so the int16 samples decode with numpy alone. Video-frame
+CONTENT decode (codec-compressed mdat) still needs ffmpeg in
+production — that is the one remaining stub.
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ from pyspark.sql import functions as F
 FEATURE_SCHEMA = (
     "doc_id long, content_type string, size_bytes long, sha16 string, "
     "width int, height int, n_frames int, byte_hist array<double>, "
-    "content_mean double"
+    "content_mean double, audio_rms double"
 )
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -563,6 +565,19 @@ def _byte_mean(payload: bytes) -> float:
     return float(np.frombuffer(payload, dtype=np.uint8).mean())
 
 
+def _pcm_rms(pcm: bytes) -> float:
+    """REAL audio-sample decode (r5): PCM is uncompressed, so the 16-bit
+    little-endian samples decode with numpy alone — no ffmpeg needed. RMS
+    over the int16 samples; exact (squares are integers, partial sums
+    < 2^53) so the SQL oracle can reproduce it from byte-pair
+    arithmetic. An odd trailing byte is not a sample and is dropped."""
+    n = len(pcm) // 2
+    if n == 0:
+        return 0.0
+    s = np.frombuffer(pcm, dtype="<i2", count=n).astype(np.float64)
+    return float(np.sqrt(np.mean(s * s)))
+
+
 def _fake_decode(payload: bytes, content_type: str) -> tuple[int, int, int, list[float]]:
     """DETERMINISTIC FALLBACK for payloads whose header doesn't parse
     (all three content types have real wire-format decoders now). Derives
@@ -588,13 +603,15 @@ def extract_media_features(df: DataFrame) -> DataFrame:
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
                 ct = meta["content_type"]
                 b = bytes(payload)
+                rms = None
                 if ct == "image/png":
                     full = decode_png_content(b)  # REAL pixel decode (r5)
                     if full is not None:
                         w, h, mean = full
                         nf, hist = 1, _byte_hist(b)
                         rows.append((doc_id, ct, meta["size_bytes"],
-                                     meta["sha16"], w, h, nf, hist, mean))
+                                     meta["sha16"], w, h, nf, hist, mean,
+                                     None))
                         continue
                 dims = decode_png_dims(b) if ct == "image/png" else None
                 wav = _wav_walk(b) if ct == "audio/wav" else None
@@ -605,7 +622,9 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                 elif wav is not None:  # REAL wire-format parse (WAV)
                     w, h, nf, off, dsz = wav  # rate / channels / frames
                     hist = _byte_hist(b)
-                    mean = _byte_mean(b[off:off + dsz])  # PCM bytes only
+                    pcm = b[off:off + dsz]
+                    mean = _byte_mean(pcm)  # PCM bytes only
+                    rms = _pcm_rms(pcm)     # REAL int16 sample decode
                 elif mp4 is not None:  # REAL wire-format parse (ISO-BMFF)
                     w, h, nf, m0, m1 = mp4  # tkhd dims / mvhd ticks
                     hist = _byte_hist(b)
@@ -614,12 +633,12 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                     w, h, nf, hist = _fake_decode(b, ct)
                     mean = _byte_mean(b)
                 rows.append((doc_id, ct, meta["size_bytes"], meta["sha16"],
-                             w, h, nf, hist, mean))
+                             w, h, nf, hist, mean, rms))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "content_type", "size_bytes", "sha16",
                          "width", "height", "n_frames", "byte_hist",
-                         "content_mean"],
+                         "content_mean", "audio_rms"],
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)

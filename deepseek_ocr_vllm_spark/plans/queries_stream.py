@@ -231,7 +231,14 @@ def _mm_oracle() -> str:
                              ELSE {lv} END),
                  6) AS hist_b1,
            ROUND(CAST(COALESCE(list_sum(codes), 0) AS DOUBLE) / n, 6)
-             AS content_mean
+             AS content_mean,
+           CASE WHEN doc_id % 3 = 1 THEN
+             ROUND(sqrt(CAST(list_sum(list_transform(
+                     range(1, n // 2 + 1),
+                     i -> (codes[2*i-1] + 256 * codes[2*i])
+                          * (codes[2*i-1] + 256 * codes[2*i])))
+                   AS DOUBLE) / (n // 2)), 6)
+           END AS audio_rms
     FROM crc ORDER BY doc_id
     """
 
@@ -243,11 +250,15 @@ def mm_media_features(spark, sf_dir):
     format, and image rows are now a COMPLETE valid PNG decoded down to
     the PIXELS (r5: decode_png_content — chunk walk with CRC verify, zlib
     inflate, scanline unfilter; content_mean is the mean decoded luma).
-    Audio rows: RIFF/WAVE fmt/data chunk walk (rate/channels/PCM frames,
-    content_mean over the PCM bytes). Video rows: ISO-BMFF box walk
-    (ftyp + moov/mvhd duration + trak/tkhd 16.16 dims, content_mean over
-    the mdat body; frame decode needs ffmpeg — sample/frame CONTENT for
-    video is the one remaining stub). The oracle re-derives every
+    Audio rows: RIFF/WAVE fmt/data chunk walk (rate/channels/PCM frames)
+    PLUS real SAMPLE decode — PCM is uncompressed, so the int16 LE
+    samples decode with numpy alone and audio_rms is the RMS over the
+    actual samples (the oracle reproduces it from byte-pair arithmetic;
+    high bytes < 128 in the ASCII corpus make signed == unsigned). Video
+    rows: ISO-BMFF box walk (ftyp + moov/mvhd duration + trak/tkhd 16.16
+    dims, content_mean over the mdat body; mdat frames are codec
+    compressed, so frame decode needs ffmpeg — the ONE remaining content
+    stub). The oracle re-derives every
     envelope byte in SQL from the same constants — including the PNG
     CRC32s (table-driven list_reduce fold, identical to zlib) and adler32
     (char-sum arithmetic) — so hist_b1 covers checksums too (byte ==
@@ -263,4 +274,5 @@ def mm_media_features(spark, sf_dir):
         "n_frames",
         F.round(F.element_at("byte_hist", 2), 6).alias("hist_b1"),
         F.round("content_mean", 6).alias("content_mean"),
+        F.round("audio_rms", 6).alias("audio_rms"),
     ).orderBy("doc_id")

@@ -403,6 +403,16 @@ def test_media_features_real_png_path(spark):
     assert rows[1].content_mean == sum(au) / len(au)
     vi = b"epsilon"
     assert rows[2].content_mean == sum(vi) / len(vi)
+    # audio_rms = RMS over the REAL int16 LE samples (r5: PCM content
+    # decode needs no ffmpeg); null for non-audio rows
+    import struct as _struct
+
+    samples = _struct.unpack(f"<{len(au) // 2}h", au[:len(au) // 2 * 2])
+    import math as _math
+
+    assert abs(rows[1].audio_rms
+               - _math.sqrt(sum(s * s for s in samples) / len(samples))) < 1e-9
+    assert rows[0].audio_rms is None and rows[2].audio_rms is None
     # audio row: REAL RIFF/WAVE envelope parsed back (r3 #6)
     assert (rows[1].width, rows[1].height) == (16000, 1)
     assert rows[1].size_bytes == len("gamma delta") + 44
