@@ -593,3 +593,29 @@ def test_embed_centroid_broadcast_fallback_matches_inline(spark, monkeypatch):
     bcast = {(r.vec_a, r.vec_b) for r in
              _embed_blocked_pairs(e, max_cell_pop=10, probes=2).collect()}
     assert inline == bcast and len(inline) > 0
+
+
+def test_jvm_envelopes_byte_identical_to_python_twins(spark):
+    """Lockstep pin (r5 invariant): the JVM-side envelope construction in
+    attach_binary_payload must stay BYTE-identical to the Python twins
+    (png_envelope / wav_header / mp4_header) — the oracle derives every
+    envelope byte from the twins' constants, so drift on either side
+    breaks the driver gate."""
+    from deepseek_ocr_vllm_spark.operators.multimodal import (
+        attach_binary_payload, mp4_header, png_envelope, wav_header)
+
+    texts = ["alpha beta", "gamma delta", "epsilon", "x", "", "long "
+             * 40, "y!"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    rows = {r.doc_id: bytes(r.payload)
+            for r in attach_binary_payload(df).collect()}
+    for i, t in enumerate(texts):
+        src = t.encode()
+        if i % 3 == 0:
+            want = png_envelope(src)
+        elif i % 3 == 1:
+            want = wav_header(len(src)) + src
+        else:
+            want = mp4_header(len(src)) + src
+        assert rows[i] == want, f"doc {i} envelope drifted"
