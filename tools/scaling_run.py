@@ -173,8 +173,50 @@ best-of-{repeat} per config); cross-window comparisons are never trusted.
 Reference baselines for context: BASELINE.md (the reference pipeline's own
 published numbers are OCR-inference throughput, ~2500 tok/s on DGX; our
 engine's comparable number is the turns/sec above at ~1.2 KB/turn).
-""")
+""" + ROUND5_EVIDENCE)
     print(json.dumps(summary))
+
+
+# Preserved verbatim across scaling_run rewrites (measured round 5; the
+# underlying numbers regenerate via `python bench.py` → BENCH_r{N}
+# full_scale / dedup_scaling_sf1 / mm_media_scale).
+ROUND5_EVIDENCE = """
+## Round-5 scale evidence (candidate-pair growth + media payload size)
+
+**Dedup/ANN candidate growth, sf0.1 → sf1** (10× deterministic statistical
+twin, `fixtures.write_scaled_corpus`; production knobs; counts are
+deterministic — full JSON in BENCH_r05 `full_scale` vs `dedup_scaling_sf1`).
+Twin FIDELITY validated first: at scale=1 the twin reproduces the driver
+corpus's candidate counts almost exactly — simhash 1,840,368 vs the
+driver's 1,839,465 (+0.05%), embed 755,927 vs 755,704 (+0.03%) — so the
+similarity statistics carry over; minhash lands at 64 vs the driver's 256
+(its candidates come from the seeded dup structure, where the twin's
+edit-model differs in detail), so its growth is read twin→twin:
+
+| family | inputs 0.1→1 | candidates (twin 1× → twin 10×) | all-pairs growth | verdict |
+|---|---|---|---|---|
+| dd_minhash | 5k→50k docs | 64 → 672 (10.5×) | 100× | LINEAR — seeded near-dup pairs grow with the corpus, band collisions don't compound |
+| dd_embed_cosine | 2k→20k vecs | 756k → 9.1M (12×) | 100× | LINEAR — MAX_CELL_POP=500 cap arithmetic holds; blocked fraction FELL 38% → 4.6% exactly as r4 predicted |
+| t5_fuzzy | 206→2,062 probes vs 20k→200k targets | 660k → 65.2M | 100× | per-probe candidates 3.2k → 31.6k = LINEAR in corpus per probe (probe set itself also grew 10×) |
+| dd_simhash | 5k→50k docs | 1.84M → 186M | 100× | ~15% of all-pairs at BOTH scales — pigeonhole banding is recall-lossless but NOT collision-capped; on this tiny-vocab corpus its candidates track all-pairs. Reported, not hidden: simhash is the recall-guarantee arm, minhash/embed/t5 are the capped scale arms. |
+
+**Media decode at realistic payload sizes** (`bench.py mm_media_scale`,
+full extract_media_features incl. real PNG pixel decode, WAV PCM RMS,
+MP4 walk, vectorized byte histogram; one window):
+
+| payload | corpus | MB/s |
+|---|---|---|
+| 64 KB × 96 | 6 MB | 24.8 |
+| 256 KB × 48 | 12 MB | 44.5 |
+| 1 MB × 24 | 24 MB | 62.8 |
+| 4 MB × 24 | 96 MB | 74.0 |
+
+MB/s RISES with payload size (fixed per-row/pipeline overhead amortizing)
+and the per-byte cost is flat — the r4 per-byte-Python `_byte_hist` loop is
+gone (numpy bincount). Pure-Python ceiling measured separately: the decode
+kernel alone does ~159 MB/s single-core on the 4 MB class, so the Spark
+path at 24-row parallelism is overhead-bound, not decode-bound.
+"""
 
 
 if __name__ == "__main__":
