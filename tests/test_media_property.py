@@ -139,3 +139,43 @@ def test_mutated_valid_envelopes_decode_or_none(w, dsz, flip_at, junk):
         for dec in (decode_png_dims, decode_wav_meta, decode_mp4_meta):
             out = dec(bytes(buf))
             assert out is None or isinstance(out, tuple)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=1, max_size=2000))
+def test_png_envelope_round_trips_any_bytes(data):
+    """r5: png_envelope(data) must be a VALID PNG for arbitrary payload
+    bytes — decode_png_content (strict: CRC-verified, inflated,
+    unfiltered) recovers exactly (len, 1, mean of the bytes)."""
+    from deepseek_ocr_vllm_spark.operators.multimodal import (
+        decode_png_content, png_envelope)
+
+    out = decode_png_content(png_envelope(data))
+    assert out is not None
+    w, h, mean = out
+    assert (w, h) == (len(data), 1)
+    assert abs(mean - sum(data) / len(data)) < 1e-9
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=1, max_size=500), st.integers(0, 600))
+def test_png_envelope_corruption_never_misdecodes(data, flip_at):
+    """Flipping ANY byte of the envelope must either fail strict decode
+    (None — CRC catches payload/structure damage) or still decode; it
+    must never raise and never return wrong-but-plausible pixel stats
+    for a corrupted scanline (the CRC covers the scanline bytes)."""
+    from deepseek_ocr_vllm_spark.operators.multimodal import (
+        decode_png_content, png_envelope)
+
+    env = bytearray(png_envelope(data))
+    if flip_at >= len(env):
+        flip_at = flip_at % len(env)
+    env[flip_at] ^= 0x5A
+    out = decode_png_content(bytes(env))
+    if out is not None:
+        # only a flip that the decode path never reads (e.g. inside the
+        # IEND tail after parsing stopped) can still decode — and then
+        # the pixel stats must be the ORIGINAL ones
+        w, h, mean = out
+        assert (w, h) == (len(data), 1)
+        assert abs(mean - sum(data) / len(data)) < 1e-9
