@@ -264,7 +264,19 @@ def bench_dedup_scaling(spark) -> dict:
         n_probes = (spark.read.parquet(f"{sf1}/part.parquet")
                     .filter(T5_FULL_PROBE_FILTER).count())
 
+        # wall-clock budget for this section (NOT silent: families that
+        # don't fit are listed in skipped_for_budget) — a slow host
+        # window must degrade the evidence, never time out the whole
+        # bench. Families run cheap-first so a partial run still carries
+        # the cap-arithmetic curve.
+        budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_SEC", "600"))
+        t_start = time.time()
+        skipped: list[str] = []
+
         def run(name, builder, n_inputs, cand_counter, allpairs=None):
+            if time.time() - t_start > budget:
+                skipped.append(name)
+                return
             t0 = time.time()
             result, cand = builder()
             n_res = result.count()
@@ -277,13 +289,13 @@ def bench_dedup_scaling(spark) -> dict:
                     else n_inputs * (n_inputs - 1) // 2),
             }
 
+        run("dd_embed_cosine_full",
+            lambda: dd_embed_cosine_full(spark, sf1),
+            n_vecs, lambda c: c.count())
         run("dd_minhash_full", lambda: dd_minhash_full(spark, sf1),
             n_docs, lambda c: c.count())
         run("dd_simhash_full", lambda: dd_simhash_full(spark, sf1),
             n_docs, lambda c: c.first()["n_candidates"])
-        run("dd_embed_cosine_full",
-            lambda: dd_embed_cosine_full(spark, sf1),
-            n_vecs, lambda c: c.count())
         run("t5_fuzzy_full", lambda: t5_fuzzy_full(spark, sf1),
             n_parts, lambda c: c.count(), allpairs=n_probes * n_parts)
     finally:
@@ -293,7 +305,8 @@ def bench_dedup_scaling(spark) -> dict:
             else:
                 os.environ[k] = v
     return {"scale_vs_base": 10, "docs": n_docs, "vecs": n_vecs,
-            "parts": n_parts, "families": out}
+            "parts": n_parts, "families": out,
+            "skipped_for_budget": skipped}
 
 
 def bench_media_scale(spark) -> dict:
