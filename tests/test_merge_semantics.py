@@ -253,3 +253,45 @@ def test_adaptation_rewrites_are_pinned():
         if f.endswith(".merge.sql"):
             parsed = merge_exec.parse_merge(open(os.path.join(gold, f)).read())
             assert parsed["insert"] is True
+
+
+def test_merge_semantics_random_tables_match_python_reference():
+    """Property check (seeded exhaustive-ish sweep, no Spark): for random
+    current/update tables with nulls and tombstones, the DuckDB-executed
+    generated MERGE must equal a 20-line pure-Python reference of
+    Iceberg MERGE semantics (original-state matched-ness,
+    first-match-wins delete > update > insert)."""
+    import itertools
+    import random
+
+    vals = ["A", "B", None]
+    rng = random.Random(20260817)
+    for trial in range(25):
+        keys_t = rng.sample(range(6), rng.randint(0, 4))
+        rows_t = [(k, rng.choice(vals), rng.choice(vals)) for k in keys_t]
+        keys_s = rng.sample(range(6), rng.randint(1, 5))
+        rows_s = [(k, rng.choice(vals), rng.choice(vals), rng.random() < 0.3)
+                  for k in keys_s]
+
+        # pure-Python Iceberg MERGE reference
+        cur = {r[0]: (r[1], r[2]) for r in rows_t}
+        out = dict(cur)
+        for k, name, flag, deleted in rows_s:
+            if k in cur:                      # matched on ORIGINAL state
+                if deleted:
+                    out.pop(k, None)          # first-match-wins
+                elif (name, flag) != cur[k]:
+                    out[k] = (name, flag)
+            else:
+                out[k] = (name, flag)
+
+        con = _duck_setup(rows_t, rows_s,
+                          "k BIGINT, name VARCHAR, flag VARCHAR",
+                          "k BIGINT, name VARCHAR, flag VARCHAR, "
+                          "is_deleted BOOLEAN")
+        m = tableio.iceberg_merge_sql(
+            "t", ["k"], ["name", "flag"], delete_predicate="s.is_deleted")
+        merge_exec.run_merge_duckdb(con, m)
+        got = {r[0]: (r[1], r[2]) for r in
+               con.execute("SELECT k, name, flag FROM t").fetchall()}
+        assert got == out, (trial, rows_t, rows_s, got, out)
