@@ -557,7 +557,7 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
             # would otherwise jump past a LATER object's endobj and
             # silently absorb every intervening object (ADVICE r4; only
             # stale-SHORT lengths were handled before).
-            end = se
+            end = -1
             ml = _LENGTH_RE.search(data[start:ms.start()])
             if ml:
                 after = ms.end() + int(ml.group(1))
@@ -565,6 +565,19 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
                     mt = _STREAM_TAIL_RE.match(data, after)
                     if mt:
                         end = mt.end() - len(b"endobj")
+            if end < 0:
+                # declared extent absent/not credible: close at the first
+                # 'endstream…endobj' ADJACENCY after the stream start —
+                # robust to BOTH failure modes (review r5): a stale-SHORT
+                # length whose deflate data contains bare 'endobj' bytes
+                # (the adjacency is far rarer than the bare marker, so the
+                # real trailer is found, not the in-stream noise), and an
+                # over-declared length (the true trailer precedes it)
+                mt2 = _STREAM_TAIL_RE.search(data, ms.end())
+                if mt2:
+                    end = mt2.end() - len(b"endobj")
+                else:
+                    end = se  # no trailer anywhere: first-endobj fallback
             if end < 0:
                 end = n
             objs[int(m.group(1))] = data[start:end]

@@ -460,8 +460,13 @@ def write_scaled_corpus(path: str, base_dir: str = "/root/testdata/sf0.1",
     n_near = int(round(0.04 * n_docs))
     n_exact = int(round(0.0016 * n_docs))
     victims = rng.choice(n_docs, size=n_near + n_exact, replace=False)
-    for j, vi in enumerate(victims):
-        src_i = int(rng.randint(0, n_docs))
+    # sources drawn from NON-victims only (review r5): a victim-sourced
+    # clone could pick a doc that a later rewrite destroys (eroding the
+    # seeded pair) or clone itself (no dup at all) — the stated rates
+    # must be the actual rates
+    non_victims = np.setdiff1d(np.arange(n_docs), victims)
+    sources = rng.choice(non_victims, size=len(victims))
+    for j, (vi, src_i) in enumerate(zip(victims, sources)):
         if j < n_exact:
             texts[vi] = texts[src_i]
         else:

@@ -264,12 +264,17 @@ def decode_png_content(payload: bytes) -> tuple[int, int, float] | None:
         return None
     if ct == 3 and (depth == 16 or plte is None or len(plte) % 3):
         return None
+    stride = (w * channels * depth + 7) // 8
+    need = h * (stride + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # max_length caps the allocation: a tiny crafted IDAT that
+        # inflates to gigabytes (decompression bomb) cannot OOM the
+        # executor — we never need more than the declared pixel bytes
+        # (review r5)
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
     except zlib.error:
         return None
-    stride = (w * channels * depth + 7) // 8
-    if len(raw) < h * (stride + 1):
+    if len(raw) < need:
         return None
     bpp = max(1, channels * depth // 8)
     rows = _unfilter_rows(raw, h, stride, bpp)
@@ -476,22 +481,23 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     #   A = (1 + Σ b_i) mod 65521
     #   B = (n + 1 + Σ_i (n-i+1)·b_i) mod 65521   (running prefix-sum agg)
     chars = f"filter(split({text_col}, ''), x -> x != '')"
+    # ONE fold yields both adler terms: the accumulator's running byte
+    # sum (s) and running prefix-sum-of-sums (w) — review r5 replaced
+    # two separate O(n) folds with this single one; the two field
+    # references below are the same expression, so codegen's
+    # subexpression elimination evaluates the fold once per row
     d = (
         df.withColumn("__src", F.encode(F.col(text_col), "utf-8"))
         .withColumn("__n", F.length("__src"))
-        .withColumn("__S", F.when(is_img, F.expr(
-            f"aggregate({chars}, 0L, (a, x) -> a + ascii(x))"
-        )).otherwise(F.lit(0)))
-        .withColumn("__W", F.when(is_img, F.expr(
+        .withColumn("__SW", F.when(is_img, F.expr(
             f"aggregate({chars}, struct(0L AS s, 0L AS w), "
-            "(acc, x) -> struct(acc.s + ascii(x), acc.w + acc.s + ascii(x)), "
-            "acc -> acc.w)"
-        )).otherwise(F.lit(0)))
+            "(acc, x) -> struct(acc.s + ascii(x), acc.w + acc.s + ascii(x)))"
+        )).otherwise(F.expr("struct(0L AS s, 0L AS w)")))
     )
     n = F.col("__n")
     adler = (
-        F.pmod(n + 1 + F.col("__W"), F.lit(65521)) * 65536
-        + F.pmod(F.col("__S") + 1, F.lit(65521))
+        F.pmod(n + 1 + F.col("__SW.w"), F.lit(65521)) * 65536
+        + F.pmod(F.col("__SW.s") + 1, F.lit(65521))
     )
     d = (
         d.withColumn("__zlib", F.concat(
@@ -518,9 +524,14 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .when(
             is_img,  # over the single-stored-block bound: header-only
+            # PNG *plus the raw document bytes* — the content must never
+            # vanish from the payload (review r5); decode_png_content
+            # rejects the missing IDAT and the feature pass degrades to
+            # header metadata + whole-payload stats
             F.concat(F.lit(PNG_SIG + struct.pack(">I", 13)),
                      F.col("__ihdr_body"),
-                     _be4(F.crc32(F.col("__ihdr_body")))),
+                     _be4(F.crc32(F.col("__ihdr_body"))),
+                     F.col("__src")),
         )
         .when(
             F.col("doc_id") % 3 == 1,

@@ -36,6 +36,13 @@ class FetchTooLarge(RuntimeError):
     Content-Length)."""
 
 
+class FetchDeadline(RuntimeError):
+    """Total download time exceeded ``timeout`` — the reference enforces
+    a TOTAL 2-minute budget (parser.go:196), not a per-read socket
+    timeout; a slow-loris server trickling bytes must not hold the
+    connector past it (review r5)."""
+
+
 def fetch_url(
     url: str,
     dest_dir: str,
@@ -47,8 +54,11 @@ def fetch_url(
 ) -> dict:
     """Download one URL to ``dest_dir/<sha256[:32]><suffix>`` and return
     ``{"url", "path", "sha256", "bytes", "attempts"}``. Retries
-    transient HTTP/connection errors with exponential backoff; a
-    too-large body aborts immediately (retrying cannot shrink it)."""
+    TRANSIENT failures (connection errors, timeouts, HTTP 5xx/429) with
+    exponential backoff; permanent client errors (other 4xx) and a
+    too-large body abort immediately — retrying cannot fix either
+    (review r5). ``timeout`` is the TOTAL per-attempt download budget,
+    matching the reference's 2-minute cap (parser.go:196)."""
     os.makedirs(dest_dir, exist_ok=True)
     last: Exception | None = None
     for attempt in range(1, retries + 1):
@@ -57,8 +67,14 @@ def fetch_url(
                                attempt)
         except FetchTooLarge:
             raise
+        except urllib.error.HTTPError as e:
+            if e.code not in (429,) and 400 <= e.code < 500:
+                raise  # permanent client error — no retry
+            last = e
+            if attempt < retries:
+                time.sleep(backoff * (2 ** (attempt - 1)))
         except (urllib.error.URLError, ConnectionError, TimeoutError,
-                OSError) as e:
+                FetchDeadline, OSError) as e:
             last = e
             if attempt < retries:
                 time.sleep(backoff * (2 ** (attempt - 1)))
@@ -70,12 +86,23 @@ def _fetch_once(url: str, dest_dir: str, max_bytes: int, timeout: float,
                 suffix: str, attempt: int) -> dict:
     h = hashlib.sha256()
     n = 0
+    deadline = time.monotonic() + timeout
     fd, tmp = tempfile.mkstemp(dir=dest_dir, prefix=".fetch_")
     try:
+        # the urlopen timeout bounds each SOCKET operation; the deadline
+        # check below bounds the WHOLE body read. read1 (not read):
+        # BufferedReader.read(n) BLOCKS until n bytes accumulate, so a
+        # server trickling bytes would keep control away from the
+        # deadline check for the whole buffer fill; read1 returns as
+        # soon as any data is available.
         with os.fdopen(fd, "wb") as out, urllib.request.urlopen(
-                url, timeout=timeout) as resp:
+                url, timeout=min(timeout, 30)) as resp:
+            read1 = getattr(resp, "read1", None)
             while True:
-                chunk = resp.read(_CHUNK)
+                if time.monotonic() > deadline:
+                    raise FetchDeadline(
+                        f"{url}: download exceeded {timeout}s total")
+                chunk = read1(_CHUNK) if read1 else resp.read(_CHUNK)
                 if not chunk:
                     break
                 n += len(chunk)

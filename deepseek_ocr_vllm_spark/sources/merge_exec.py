@@ -61,20 +61,26 @@ def adapt_history_sql(sql: str) -> str:
 def parse_merge(sql: str) -> dict:
     """Parse the generated MERGE shape (the only shapes tableio emits)
     into target/source/on + arms. Raises on anything unrecognized so a
-    generator change breaks the harness loudly instead of skipping arms."""
+    generator change breaks the harness loudly instead of skipping arms.
+    ``order`` records the CLAUSE ORDER as written — first-match-wins is
+    the semantic contract, so the executor refuses any ordering it does
+    not implement rather than silently inverting it (review r5)."""
     lines = [ln.strip() for ln in sql.strip().splitlines() if ln.strip()]
     head = _MERGE_RE.match(lines[0])
     if not head:
         raise ValueError(f"unrecognized MERGE head: {lines[0]!r}")
     out = {**head.groupdict(), "delete": None, "update": None,
-           "insert": False}
+           "insert": False, "order": []}
     for ln in lines[1:]:
         if m := _DELETE_RE.match(ln):
             out["delete"] = m.group("pred")
+            out["order"].append("delete")
         elif m := _UPDATE_RE.match(ln):
             out["update"] = (m.group("pred"), m.group("sets"))
+            out["order"].append("update")
         elif _INSERT_RE.match(ln):
             out["insert"] = True
+            out["order"].append("insert")
         else:
             raise ValueError(f"unrecognized MERGE clause: {ln!r}")
     return out
@@ -85,6 +91,16 @@ def run_merge_duckdb(con, sql: str) -> None:
     already hold the target table and the source view/table under the
     names the statement references."""
     m = parse_merge(sql)
+    # the executor implements exactly delete→update→insert; any other
+    # written order would mean different first-match-wins semantics, so
+    # refuse it loudly instead of silently reordering (review r5)
+    expected = [a for a, present in
+                (("delete", m["delete"]), ("update", m["update"]),
+                 ("insert", m["insert"])) if present]
+    if m["order"] != expected:
+        raise ValueError(
+            f"unsupported MERGE clause order {m['order']} (executor "
+            f"implements {expected})")
     target, source, on = m["target"], m["source"], adapt_expr(m["on"])
     # matched-ness is defined by the ORIGINAL target state for every arm
     keys = [c.split(".")[1] for c in re.findall(r"t\.\w+", m["on"])]
@@ -105,11 +121,15 @@ def run_merge_duckdb(con, sql: str) -> None:
             f"WHERE {on} AND ({adapt_expr(pred)})")
     if m["insert"]:
         # INSERT * maps by name onto the target's columns (Iceberg
-        # semantics); the source may carry extra columns (tombstones)
+        # semantics); the source may carry extra columns (tombstones).
+        # Matched-ness uses plain '=' like the generated ON clause does
+        # (NULL keys never match → a NULL-keyed source row INSERTS, the
+        # real Spark/Iceberg behavior) — IS NOT DISTINCT FROM here would
+        # wrongly suppress NULL-key inserts (review r5).
         tcols = [r[1] for r in
                  con.execute(f"PRAGMA table_info('{target}')").fetchall()]
         col_list = ", ".join(f"s.{c}" for c in tcols)
-        anti = " AND ".join(f"s.{k} IS NOT DISTINCT FROM o.{k}" for k in keys)
+        anti = " AND ".join(f"s.{k} = o.{k}" for k in keys)
         con.execute(
             f"INSERT INTO {target} SELECT {col_list} FROM {source} s "
             f"WHERE NOT EXISTS (SELECT 1 FROM __merge_t0 o WHERE {anti})")

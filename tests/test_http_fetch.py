@@ -20,9 +20,26 @@ FLAKY_FAILS = 2
 
 class _Handler(http.server.BaseHTTPRequestHandler):
     flaky_count = 0
+    gone_hits = 0
 
     def do_GET(self):  # noqa: N802 — http.server API
-        if self.path == "/doc.bin":
+        if self.path == "/gone":
+            type(self).gone_hits += 1
+            self.send_error(404)
+        elif self.path == "/slow-loris":
+            # trickles bytes forever — only a TOTAL deadline stops it
+            self.send_response(200)
+            self.end_headers()
+            import time as _time
+
+            try:
+                while True:
+                    self.wfile.write(b"x")
+                    self.wfile.flush()
+                    _time.sleep(0.05)
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+        elif self.path == "/doc.bin":
             self.send_response(200)
             self.send_header("Content-Length", str(len(PAYLOAD)))
             self.end_headers()
@@ -108,3 +125,30 @@ def test_fetched_dir_feeds_binary_scan(http_base, tmp_path, spark):
           .option("pathGlobFilter", "*.bin").load(str(tmp_path)))
     rows = df.select("path", "length").collect()
     assert len(rows) == 1 and rows[0].length == len(PAYLOAD)
+
+
+def test_permanent_404_does_not_retry(http_base, tmp_path):
+    """review r5: HTTP 4xx is permanent — burning retries x backoff on a
+    dead URL stalls the whole batch. Exactly ONE request must hit the
+    server."""
+    import urllib.error
+
+    _Handler.gone_hits = 0
+    with pytest.raises(urllib.error.HTTPError):
+        fetch_url(f"{http_base}/gone", str(tmp_path), retries=5,
+                  backoff=0.5)
+    assert _Handler.gone_hits == 1
+
+
+def test_total_deadline_stops_slow_loris(http_base, tmp_path):
+    """review r5: the reference enforces a TOTAL download budget
+    (parser.go:196); a server trickling one byte per read must trip it —
+    a per-socket-read timeout alone never would."""
+    import time as _time
+
+    t0 = _time.monotonic()
+    with pytest.raises(RuntimeError):
+        fetch_url(f"{http_base}/slow-loris", str(tmp_path), timeout=1.0,
+                  retries=1)
+    assert _time.monotonic() - t0 < 10
+    assert list(tmp_path.iterdir()) == []

@@ -257,33 +257,38 @@ def test_adaptation_rewrites_are_pinned():
 
 def test_merge_semantics_random_tables_match_python_reference():
     """Property check (seeded exhaustive-ish sweep, no Spark): for random
-    current/update tables with nulls and tombstones, the DuckDB-executed
-    generated MERGE must equal a 20-line pure-Python reference of
-    Iceberg MERGE semantics (original-state matched-ness,
-    first-match-wins delete > update > insert)."""
-    import itertools
+    current/update tables with nulls and tombstones — INCLUDING NULL
+    KEYS — the DuckDB-executed generated MERGE must equal a pure-Python
+    reference of Iceberg MERGE semantics: original-state matched-ness,
+    first-match-wins delete > update > insert, and NULL keys NEVER match
+    (a NULL-keyed source row always inserts — review r5: the old
+    IS-NOT-DISTINCT-FROM anti-join wrongly suppressed those)."""
     import random
 
     vals = ["A", "B", None]
     rng = random.Random(20260817)
-    for trial in range(25):
+    for trial in range(30):
         keys_t = rng.sample(range(6), rng.randint(0, 4))
+        if rng.random() < 0.5:
+            keys_t.append(None)  # NULL-keyed target row
         rows_t = [(k, rng.choice(vals), rng.choice(vals)) for k in keys_t]
         keys_s = rng.sample(range(6), rng.randint(1, 5))
+        if rng.random() < 0.5:
+            keys_s.append(None)  # NULL-keyed source row
         rows_s = [(k, rng.choice(vals), rng.choice(vals), rng.random() < 0.3)
                   for k in keys_s]
 
-        # pure-Python Iceberg MERGE reference
-        cur = {r[0]: (r[1], r[2]) for r in rows_t}
-        out = dict(cur)
+        # pure-Python Iceberg MERGE reference over a row MULTISET
+        cur = {r[0]: (r[1], r[2]) for r in rows_t if r[0] is not None}
+        out = list(rows_t)
         for k, name, flag, deleted in rows_s:
-            if k in cur:                      # matched on ORIGINAL state
+            if k is not None and k in cur:    # matched on ORIGINAL state
                 if deleted:
-                    out.pop(k, None)          # first-match-wins
+                    out = [r for r in out if r[0] != k]
                 elif (name, flag) != cur[k]:
-                    out[k] = (name, flag)
-            else:
-                out[k] = (name, flag)
+                    out = [(k, name, flag) if r[0] == k else r for r in out]
+            else:                              # NULL key → never matched
+                out.append((k, name, flag))
 
         con = _duck_setup(rows_t, rows_s,
                           "k BIGINT, name VARCHAR, flag VARCHAR",
@@ -292,6 +297,22 @@ def test_merge_semantics_random_tables_match_python_reference():
         m = tableio.iceberg_merge_sql(
             "t", ["k"], ["name", "flag"], delete_predicate="s.is_deleted")
         merge_exec.run_merge_duckdb(con, m)
-        got = {r[0]: (r[1], r[2]) for r in
-               con.execute("SELECT k, name, flag FROM t").fetchall()}
-        assert got == out, (trial, rows_t, rows_s, got, out)
+        got = sorted((tuple(r) for r in
+                      con.execute("SELECT k, name, flag FROM t").fetchall()),
+                     key=str)
+        assert got == sorted(out, key=str), (trial, rows_t, rows_s, got, out)
+
+
+def test_merge_executor_refuses_unknown_clause_order():
+    """First-match-wins is the contract: a MERGE text whose arms are
+    written update-before-delete must be REJECTED, not silently run in
+    the executor's delete-first order (review r5)."""
+    sql = ("MERGE INTO t t USING updates s ON t.k = s.k\n"
+           "WHEN MATCHED AND (NOT (t.name <=> s.name)) THEN UPDATE SET "
+           "t.name = s.name\n"
+           "WHEN MATCHED AND (s.is_deleted) THEN DELETE\n"
+           "WHEN NOT MATCHED THEN INSERT *")
+    con = _duck_setup([], [], "k BIGINT, name VARCHAR",
+                      "k BIGINT, name VARCHAR, is_deleted BOOLEAN")
+    with pytest.raises(ValueError, match="clause order"):
+        merge_exec.run_merge_duckdb(con, sql)

@@ -619,3 +619,54 @@ def test_jvm_envelopes_byte_identical_to_python_twins(spark):
         else:
             want = mp4_header(len(src)) + src
         assert rows[i] == want, f"doc {i} envelope drifted"
+
+
+def test_png_decompression_bomb_bounded():
+    """review r5: a tiny IDAT inflating to orders of magnitude more than
+    the declared pixel bytes must not balloon memory — decompression is
+    capped at the declared h*(stride+1) and anything short of it is
+    rejected."""
+    import struct
+    import zlib as _z
+
+    from deepseek_ocr_vllm_spark.operators.multimodal import (
+        PNG_SIG, decode_png_content)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", _z.crc32(typ + data)))
+
+    # declares a 100x1 gray image but the IDAT inflates to ~10 MB
+    ihdr = struct.pack(">IIBBBBB", 100, 1, 8, 0, 0, 0, 0)
+    bomb = _z.compress(b"\x00" * 10_000_000)
+    assert len(bomb) < 20_000  # the bomb itself is tiny on the wire
+    png = (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb)
+           + chunk(b"IEND", b""))
+    out = decode_png_content(png)
+    # capped inflate reads only the needed 101 bytes (all zeros) — a
+    # valid prefix decodes; the point is the bounded allocation, which
+    # the max_length cap guarantees regardless
+    assert out == (100, 1, 0.0)
+    # truncated stream (inflates to LESS than declared) must reject
+    short = _z.compress(b"\x00" * 50)
+    png2 = (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", short)
+            + chunk(b"IEND", b""))
+    assert decode_png_content(png2) is None
+
+
+def test_oversized_image_text_keeps_content_in_payload(spark):
+    """review r5: image texts past the 65534-byte single-stored-block
+    bound degrade to a header-only PNG but the payload must STILL carry
+    the document bytes — content never vanishes."""
+    from deepseek_ocr_vllm_spark.operators.multimodal import (
+        PNG_SIG, attach_binary_payload, extract_media_features)
+
+    big = "z" * 70000
+    df = spark.createDataFrame([(0, big)], ["doc_id", "text"])
+    row = attach_binary_payload(df).collect()[0]
+    b = bytes(row.payload)
+    assert b.startswith(PNG_SIG)
+    assert b.endswith(big.encode())  # content preserved after the header
+    feats = extract_media_features(attach_binary_payload(df)).collect()[0]
+    assert (feats.width, feats.height) == (70000, 1)  # header metadata
+    assert feats.n_frames == 1

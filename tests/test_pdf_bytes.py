@@ -136,6 +136,28 @@ def test_stale_short_length_falls_back_to_regex_scan():
     assert "full text survives" in g["clean_text"]
 
 
+def test_stale_short_length_with_instream_endobj_bytes():
+    """review r5: a stale-SHORT /Length whose DEFLATE DATA contains the
+    bytes 'endobj' past the declared extent must not truncate the object
+    at the in-stream marker (the r4 over-declared fix regressed this
+    path) — the scan closes at the first real 'endstream…endobj'
+    ADJACENCY instead."""
+    ops = (b"BT /F1 10 Tf 72 700 Td (stale short with markers) Tj ET\n"
+           b"% endobj endobj padding that is NOT the real object end")
+    stream = zlib.compress(ops, 0)  # stored blocks keep the marker bytes
+    assert b"endobj" in stream
+    content = _obj(30, (
+        b"<< /Length " + str(len(stream) // 4).encode()  # stale-short
+        + b" /Filter /FlateDecode >>\nstream\n" + stream + b"\nendstream"
+    ))
+    pdf = (b"%PDF-1.4\n" + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+           + _obj(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+           + _page(10, 30) + content + _FONT_OBJS
+           + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    g = golden.extract_turn(pdf_bytes_to_layout_records(pdf))
+    assert "stale short with markers" in g["clean_text"]
+
+
 def test_overdeclared_length_does_not_absorb_later_objects():
     """ADVICE r4: a corrupt OVER-declared /Length that still fits in the
     file used to jump past a LATER object's endobj, silently absorbing the

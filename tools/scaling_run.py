@@ -187,15 +187,15 @@ ROUND5_EVIDENCE = """
 twin, `fixtures.write_scaled_corpus`; production knobs; counts are
 deterministic — full JSON in BENCH_r05 `full_scale` vs `dedup_scaling_sf1`).
 Twin FIDELITY validated first: at scale=1 the twin reproduces the driver
-corpus's candidate counts almost exactly — simhash 1,840,368 vs the
-driver's 1,839,465 (+0.05%), embed 755,927 vs 755,704 (+0.03%) — so the
-similarity statistics carry over; minhash lands at 64 vs the driver's 256
+corpus's candidate counts almost exactly — simhash 1,839,450 vs the
+driver's 1,839,465 (−0.001%), embed 755,927 vs 755,704 (+0.03%) — so the
+similarity statistics carry over; minhash lands at 71 vs the driver's 256
 (its candidates come from the seeded dup structure, where the twin's
 edit-model differs in detail), so its growth is read twin→twin:
 
 | family | inputs 0.1→1 | candidates (twin 1× → twin 10×) | all-pairs growth | verdict |
 |---|---|---|---|---|
-| dd_minhash | 5k→50k docs | 64 → 672 (10.5×) | 100× | LINEAR — seeded near-dup pairs grow with the corpus, band collisions don't compound |
+| dd_minhash | 5k→50k docs | 71 → 681 (9.6×) | 100× | LINEAR — seeded near-dup pairs grow with the corpus, band collisions don't compound |
 | dd_embed_cosine | 2k→20k vecs | 756k → 9.1M (12×) | 100× | LINEAR — MAX_CELL_POP=500 cap arithmetic holds; blocked fraction FELL 38% → 4.6% exactly as r4 predicted |
 | t5_fuzzy | 206→2,062 probes vs 20k→200k targets | 660k → 65.2M | 100× | per-probe candidates 3.2k → 31.6k = LINEAR in corpus per probe (probe set itself also grew 10×) |
 | dd_simhash | 5k→50k docs | 1.84M → 186M | 100× | ~15% of all-pairs at BOTH scales — pigeonhole banding is recall-lossless but NOT collision-capped; on this tiny-vocab corpus its candidates track all-pairs. Reported, not hidden: simhash is the recall-guarantee arm, minhash/embed/t5 are the capped scale arms. |
