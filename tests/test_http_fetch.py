@@ -152,3 +152,41 @@ def test_total_deadline_stops_slow_loris(http_base, tmp_path):
                   retries=1)
     assert _time.monotonic() - t0 < 10
     assert list(tmp_path.iterdir()) == []
+
+
+def test_fetch_then_extract_real_pdf_end_to_end(tmp_path, spark):
+    """The full S5 → S1 → X1 chain: a REAL generated %PDF- binary served
+    over localhost HTTP, streamed down by fetch_url, landed under its
+    content hash, then extracted through the same wire-format parse +
+    Arrow extractor the pipeline uses."""
+    import http.server
+    import random
+    import threading
+
+    from deepseek_ocr_vllm_spark.fixtures import _pdf_binary
+    from deepseek_ocr_vllm_spark.sources.binary_docs import (
+        extract_binary_docs)
+
+    pdf_bytes = _pdf_binary(random.Random(7))
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(pdf_bytes)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        r = fetch_url(f"http://127.0.0.1:{srv.server_address[1]}/d.pdf",
+                      str(tmp_path), suffix=".pdf")
+        assert open(r["path"], "rb").read().startswith(b"%PDF-")
+        rows = extract_binary_docs(spark, str(tmp_path)).collect()
+        assert len(rows) == 1
+        assert rows[0].doc_sha256 == r["sha256"]  # same content address
+        assert len(rows[0].clean_text) > 50  # real text extracted
+    finally:
+        srv.shutdown()
