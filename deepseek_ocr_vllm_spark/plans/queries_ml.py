@@ -378,7 +378,8 @@ def _simhash_sql(engine: str, n_bits: int = 16,
                  band_bits: tuple[int, ...] = (4, 3, 3, 3, 3),
                  max_ham: int = 4,
                  where: str = "WHERE doc_id < 200",
-                 emit: str = "pairs") -> str:
+                 emit: str = "pairs",
+                 max_band_pop: int | None = None) -> str:
     """SimHash over word tokens; identical nibble math both engines.
 
     The DuckDB oracle keeps the naive all-pairs join (it DEFINES the
@@ -397,7 +398,20 @@ def _simhash_sql(engine: str, n_bits: int = 16,
     (every band bucket huge), the exact failure a production config must
     avoid. md5's 32 hex nibbles support up to 32 bits. emit='cand_count'
     (spark only) returns the candidate-pair count instead of the verified
-    pairs, for bench evidence."""
+    pairs, for bench evidence.
+
+    ``max_band_pop`` (spark arm only, r5): drop band buckets whose
+    population exceeds the cap before the self-join — the same hot-key
+    discipline as dd_ngram's hot-shingle DF drop and t5's hot-gram cap.
+    Candidate pairs become Σ C(pop,2) over surviving buckets, bounded
+    ~n_docs·bands·cap/2 — LINEAR in corpus at fixed cap instead of
+    tracking all-pairs on value-skewed corpora (measured at sf1: 186M →
+    6.2M with cap 500). Recall tradeoff, stated plainly: a qualifying
+    pair is lost only when EVERY band it agrees on is saturated; a
+    saturated band value is corpus-generic, so such pairs are
+    overwhelmingly non-dups — and the pigeonhole guarantee still holds
+    through any unsaturated agreeing band. The oracle-gated config never
+    caps (the all-pairs oracle DEFINES the semantics)."""
     assert sum(band_bits) == n_bits and n_bits <= 32
     assert len(band_bits) >= max_ham + 1  # pigeonhole recall guarantee
     if engine == "duck":
@@ -413,10 +427,13 @@ def _simhash_sql(engine: str, n_bits: int = 16,
         toks = ("SELECT doc_id, explode(split(text, ' ')) AS w "
                 f"FROM documents {where}")
         jgen = f"LATERAL VIEW explode(sequence(1, {n_bits})) r AS j"
-        cand = """
+        src = "bands"
+        if max_band_pop is not None:
+            src = "bands_capped"
+        cand = f"""
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                       a.simhash AS sig_a, b.simhash AS sig_b
-      FROM bands a JOIN bands b
+      FROM {src} a JOIN {src} b
         ON a.band_id = b.band_id AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id"""
         if emit == "cand_count":
@@ -436,6 +453,18 @@ def _simhash_sql(engine: str, n_bits: int = 16,
         {_band_exprs(list(band_bits))}
       )) bx AS band
     )""" if engine != "duck" else ""
+    if engine != "duck" and max_band_pop is not None:
+        bands_cte += f""",
+    band_pop AS (
+      SELECT band_id, band_val, COUNT(*) AS pop
+      FROM bands GROUP BY band_id, band_val
+    ),
+    bands_capped AS (
+      SELECT b.doc_id, b.simhash, b.band_id, b.band_val
+      FROM bands b JOIN band_pop p
+        ON b.band_id = p.band_id AND b.band_val = p.band_val
+      WHERE p.pop <= {max_band_pop}
+    )"""
     tail = ("" if emit == "cand_count"
             else "\n    ORDER BY hamming, doc_a, doc_b LIMIT 200")
     return f"""
@@ -468,17 +497,30 @@ def dd_simhash(spark, sf_dir):
     return spark.sql(_simhash_sql("spark"))
 
 
-_SIMHASH_FULL = dict(n_bits=32, band_bits=(8, 8, 8, 8), max_ham=3, where="")
+def _simhash_band_pop_cap() -> int:
+    """Hot-band bucket cap for the full-corpus simhash runs (r5: the
+    same hot-key discipline as MAX_CELL_POP / the shingle and gram DF
+    caps) — read at BUILD time like every other knob."""
+    return int(os.environ.get("SPARK_GRAFT_SIMHASH_BAND_POP", "500"))
+
+
+def _simhash_full_cfg() -> dict:
+    return dict(n_bits=32, band_bits=(8, 8, 8, 8), max_ham=3, where="",
+                max_band_pop=_simhash_band_pop_cap())
 
 
 def dd_simhash_full(spark, sf_dir):
     """Bench-scale evidence run (VERDICT r3 #2): SimHash over the FULL
     documents corpus in the production shape — 32-bit signature, 4x8-bit
-    bands, hamming<=3. The oracle's 16-bit signature space saturates at a
-    few thousand docs (5k docs / 65k signatures → every band bucket
-    huge); widening the signature is exactly what a production config
-    does, and the md5-nibble construction extends to 32 bits unchanged.
+    bands, hamming<=3, hot-band buckets past SPARK_GRAFT_SIMHASH_BAND_POP
+    dropped (r5: candidate count LINEAR in corpus at fixed cap; see
+    _simhash_sql for the stated recall tradeoff). The oracle's 16-bit
+    signature space saturates at a few thousand docs (5k docs / 65k
+    signatures → every band bucket huge); widening the signature is
+    exactly what a production config does, and the md5-nibble
+    construction extends to 32 bits unchanged.
     Returns (pairs_df, cand_count_df)."""
+    _SIMHASH_FULL = _simhash_full_cfg()
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return (
         spark.sql(_simhash_sql("spark", **_SIMHASH_FULL)),
