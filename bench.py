@@ -45,6 +45,9 @@ BENCH_PDF_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_PDF_DOCS", "500"))
 FULL_KNOBS = {
     "SPARK_GRAFT_MINHASH_PERMS": "128",
     "SPARK_GRAFT_MINHASH_ROWS_PER_BAND": "8",
+    # hot-band cap for the full-corpus simhash runs — pinned so a leaked
+    # user env value can't silently shift the bench evidence (review r5)
+    "SPARK_GRAFT_SIMHASH_BAND_POP": "500",
 }
 
 
@@ -230,11 +233,13 @@ def bench_dedup_scaling(spark) -> dict:
     family (pair counts are deterministic; the sf0.1 best-of-2 numbers in
     full_scale carry the timing discipline). Read side by side with
     full_scale: all-pairs grows 100×; minhash/embed/t5 candidates grow
-    ~10× (linear — the caps hold), while simhash's lossless-recall
-    pigeonhole banding is NOT collision-capped and its candidates track
-    this tiny-vocab corpus's band-collision rate (~15% of all-pairs at
-    BOTH scales) — reported, not hidden, per the no-silent-caps rule.
-    embed_pairs_unlabeled is omitted here: training-dominated, covered at
+    ~10× (linear — the caps hold), and simhash runs CAPPED too (r5: hot
+    band buckets past SPARK_GRAFT_SIMHASH_BAND_POP dropped, measured
+    1.24M → 6.22M across the 10×; its UNCAPPED banding tracked
+    all-pairs at ~15% on this tiny-vocab corpus — the motivation,
+    recorded in BENCH/BASELINE.md with the recall tradeoff).
+    embed_pairs_unlabeled is omitted here: training-dominated, measured
+    once for the BASELINE table (19× across the 10×) and covered at
     sf0.1."""
     import hashlib
     import inspect

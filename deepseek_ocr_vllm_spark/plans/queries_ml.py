@@ -454,16 +454,19 @@ def _simhash_sql(engine: str, n_bits: int = 16,
       )) bx AS band
     )""" if engine != "duck" else ""
     if engine != "duck" and max_band_pop is not None:
+        # window count, not aggregate+join: a separate band_pop CTE would
+        # reference the expensive toks→bits→sig chain a second time (the
+        # CLAUDE.md stage-referenced-twice plan-doubling trap); the window
+        # shuffles on (band_id, band_val) — the partitioning the band
+        # equi-join needs anyway (review r5)
         bands_cte += f""",
-    band_pop AS (
-      SELECT band_id, band_val, COUNT(*) AS pop
-      FROM bands GROUP BY band_id, band_val
-    ),
     bands_capped AS (
-      SELECT b.doc_id, b.simhash, b.band_id, b.band_val
-      FROM bands b JOIN band_pop p
-        ON b.band_id = p.band_id AND b.band_val = p.band_val
-      WHERE p.pop <= {max_band_pop}
+      SELECT doc_id, simhash, band_id, band_val
+      FROM (
+        SELECT doc_id, simhash, band_id, band_val,
+               COUNT(*) OVER (PARTITION BY band_id, band_val) AS pop
+        FROM bands
+      ) WHERE pop <= {max_band_pop}
     )"""
     tail = ("" if emit == "cand_count"
             else "\n    ORDER BY hamming, doc_a, doc_b LIMIT 200")

@@ -21,9 +21,14 @@ FLAKY_FAILS = 2
 class _Handler(http.server.BaseHTTPRequestHandler):
     flaky_count = 0
     gone_hits = 0
+    pdf_bytes = b""  # set by the e2e test before requesting /d.pdf
 
     def do_GET(self):  # noqa: N802 — http.server API
-        if self.path == "/gone":
+        if self.path == "/d.pdf":
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(type(self).pdf_bytes)
+        elif self.path == "/gone":
             type(self).gone_hits += 1
             self.send_error(404)
         elif self.path == "/slow-loris":
@@ -154,39 +159,22 @@ def test_total_deadline_stops_slow_loris(http_base, tmp_path):
     assert list(tmp_path.iterdir()) == []
 
 
-def test_fetch_then_extract_real_pdf_end_to_end(tmp_path, spark):
+def test_fetch_then_extract_real_pdf_end_to_end(http_base, tmp_path, spark):
     """The full S5 → S1 → X1 chain: a REAL generated %PDF- binary served
-    over localhost HTTP, streamed down by fetch_url, landed under its
-    content hash, then extracted through the same wire-format parse +
+    over localhost HTTP (the module's shared server — review r5: no
+    second server lifecycle), streamed down by fetch_url, landed under
+    its content hash, then extracted through the same wire-format parse +
     Arrow extractor the pipeline uses."""
-    import http.server
     import random
-    import threading
 
     from deepseek_ocr_vllm_spark.fixtures import _pdf_binary
     from deepseek_ocr_vllm_spark.sources.binary_docs import (
         extract_binary_docs)
 
-    pdf_bytes = _pdf_binary(random.Random(7))
-
-    class H(http.server.BaseHTTPRequestHandler):
-        def do_GET(self):  # noqa: N802
-            self.send_response(200)
-            self.end_headers()
-            self.wfile.write(pdf_bytes)
-
-        def log_message(self, *a):
-            pass
-
-    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
-    try:
-        r = fetch_url(f"http://127.0.0.1:{srv.server_address[1]}/d.pdf",
-                      str(tmp_path), suffix=".pdf")
-        assert open(r["path"], "rb").read().startswith(b"%PDF-")
-        rows = extract_binary_docs(spark, str(tmp_path)).collect()
-        assert len(rows) == 1
-        assert rows[0].doc_sha256 == r["sha256"]  # same content address
-        assert len(rows[0].clean_text) > 50  # real text extracted
-    finally:
-        srv.shutdown()
+    _Handler.pdf_bytes = _pdf_binary(random.Random(7))
+    r = fetch_url(f"{http_base}/d.pdf", str(tmp_path), suffix=".pdf")
+    assert open(r["path"], "rb").read().startswith(b"%PDF-")
+    rows = extract_binary_docs(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].doc_sha256 == r["sha256"]  # same content address
+    assert len(rows[0].clean_text) > 50  # real text extracted

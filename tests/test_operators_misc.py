@@ -670,3 +670,72 @@ def test_oversized_image_text_keeps_content_in_payload(spark):
     feats = extract_media_features(attach_binary_payload(df)).collect()[0]
     assert (feats.width, feats.height) == (70000, 1)  # header metadata
     assert feats.n_frames == 1
+
+
+def test_simhash_band_cap_semantics(spark):
+    """review r5: the hot-band cap's SEMANTICS pinned, not just its plan
+    shape — the SQL's capped candidate count must equal a pure-Python
+    recomputation (md5-nibble signatures → banding → bucket pops → drop
+    buckets over cap → pairs sharing a surviving band), cap=huge must
+    equal uncapped, and cap=1 must yield zero candidates (any agreeing
+    band is shared by >= 2 docs by definition)."""
+    import hashlib
+    from itertools import combinations
+
+    from deepseek_ocr_vllm_spark.plans.queries_ml import _simhash_sql
+
+    words = ["spark", "scan", "sort", "join", "agg"]
+    texts = [(i, " ".join(words[(i + k) % 5] for k in range(3)))
+             for i in range(20)]
+    texts += [(100 + i, texts[i % 4][1]) for i in range(10)]  # hot dups
+    spark.createDataFrame(texts, ["doc_id", "text"]) \
+        .createOrReplaceTempView("documents")
+
+    def sig(text):
+        bits = 0
+        for j in range(1, 17):
+            s = 0
+            for w in text.split(" "):
+                nib = int(hashlib.md5(w.encode()).hexdigest()[j - 1], 16)
+                s += 1 if nib % 2 == 1 else -1
+            if s > 0:
+                bits += 1 << (j - 1)
+        return bits
+
+    band_bits = (4, 3, 3, 3, 3)
+
+    def bands_of(s):
+        out, off = [], 0
+        for i, w in enumerate(band_bits):
+            out.append((i, (s >> off) & ((1 << w) - 1)))
+            off += w
+        return out
+
+    sigs = {d: sig(t) for d, t in texts}
+
+    def expected_cands(cap):
+        pop: dict = {}
+        for s in sigs.values():
+            for b in bands_of(s):
+                pop[b] = pop.get(b, 0) + 1
+        surviving = {b for b, c in pop.items() if c <= cap}
+        n = 0
+        for a, b in combinations(sorted(sigs), 2):
+            shared = set(bands_of(sigs[a])) & set(bands_of(sigs[b]))
+            if shared & surviving:
+                n += 1
+        return n
+
+    def sql_cands(cap):
+        return spark.sql(_simhash_sql(
+            "spark", n_bits=16, band_bits=band_bits, max_ham=4, where="",
+            emit="cand_count", max_band_pop=cap)).first()["n_candidates"]
+
+    uncapped = spark.sql(_simhash_sql(
+        "spark", n_bits=16, band_bits=band_bits, max_ham=4, where="",
+        emit="cand_count")).first()["n_candidates"]
+    assert sql_cands(10**6) == uncapped == expected_cands(10**6)
+    assert sql_cands(1) == 0
+    mid = sql_cands(4)
+    assert mid == expected_cands(4)
+    assert 0 < mid < uncapped  # the cap actually bit on this corpus
