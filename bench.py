@@ -235,7 +235,7 @@ def bench_dedup_scaling(spark) -> dict:
     full_scale: all-pairs grows 100×; minhash/embed/t5 candidates grow
     ~10× (linear — the caps hold), and simhash runs CAPPED too (r5: hot
     band buckets past SPARK_GRAFT_SIMHASH_BAND_POP dropped, measured
-    1.24M → 6.22M across the 10×; its UNCAPPED banding tracked
+    1.24M → 6.23M across the 10×; its UNCAPPED banding tracked
     all-pairs at ~15% on this tiny-vocab corpus — the motivation,
     recorded in BENCH/BASELINE.md with the recall tradeoff).
     embed_pairs_unlabeled is omitted here: training-dominated, measured

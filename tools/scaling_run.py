@@ -203,7 +203,7 @@ edit-model differs in detail), so its growth is read twin→twin:
 | dd_embed_cosine | 2k→20k vecs | 756k → 9.1M (12×) | 100× | LINEAR — MAX_CELL_POP=500 cap arithmetic holds; blocked fraction FELL 38% → 4.6% exactly as r4 predicted |
 | t5_fuzzy | 206→2,062 probes vs 20k→200k targets | 660k → 65.2M | 100× | per-probe candidates 3.2k → 31.6k = LINEAR in corpus per probe (probe set itself also grew 10×) |
 | embed_unlabeled | 2k→20k vecs | 480k → 9.1M (19×) | 100× | sub-quadratic: the k-means quantizer is retrained on the bigger corpus (fixed k=16) and the same MAX_CELL_POP sub-split bounds every bucket; measured once at sf1 outside the bench budget (261 s incl. Lloyd training, concurrent-load window) |
-| dd_simhash | 5k→50k docs | capped 1.24M → 6.22M (5.0×); uncapped 1.84M → 186M | 100× | CAPPED (r5): hot band buckets past SPARK_GRAFT_SIMHASH_BAND_POP=500 are dropped — same hot-key discipline as the shingle/gram DF caps — making candidates ~linear at fixed cap. Recall tradeoff stated in _simhash_sql: a pair is lost only when EVERY band it agrees on is saturated (corpus-generic values, overwhelmingly non-dups). The uncapped growth (15% of all-pairs at both scales, measured before the cap landed) is kept here as the motivation. |
+| dd_simhash | 5k→50k docs | capped 1.24M → 6.23M (5.0×); uncapped 1.84M → 186M | 100× | CAPPED (r5): hot band buckets past SPARK_GRAFT_SIMHASH_BAND_POP=500 are dropped — same hot-key discipline as the shingle/gram DF caps — making candidates ~linear at fixed cap. Recall tradeoff stated in _simhash_sql: a pair is lost only when EVERY band it agrees on is saturated (corpus-generic values, overwhelmingly non-dups). The uncapped growth (15% of all-pairs at both scales, measured before the cap landed) is kept here as the motivation. |
 
 **Media decode at realistic payload sizes** (`bench.py mm_media_scale`,
 full extract_media_features incl. real PNG pixel decode, WAV PCM RMS,
