@@ -43,6 +43,66 @@ def _mean_dec(col):
     )
 
 
+def _inline_max_cells() -> int:
+    """Same plan-size bound as _embed_blocked_pairs' inline centroid
+    scoring (ADVICE r4): up to this many centroids the in-row argmin
+    inlines k × dim literals; above it the keyed broadcast-join fallback
+    keeps the Catalyst tree O(1) in k. Read at call time like every knob."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_EMBED_INLINE_MAX_CELLS", "64"))
+
+
+def _argmin_join(df: DataFrame, id_col: str, vec_col: str, centroids,
+                 carry: list[str]) -> DataFrame:
+    """Keyed argmin fallback for k above the inline bound: broadcast the
+    k-row centroid table, min(struct(d2, cell, carry...)) per id — the r5
+    shape. Same fold, same tie-break as _argmin_cell."""
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, v, float(_py_dot_dec(v, v))) for c, v in centroids],
+        "cell int, centroid array<double>, c2 double",
+    )
+    scored = df.crossJoin(F.broadcast(cent_df)).select(
+        id_col,
+        (
+            F.col("c2") - 2 * _dot_dec(F.col(vec_col), F.col("centroid"))
+        ).alias("__d2"),
+        F.col("cell").alias("__cell"),
+        *carry,
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct("__d2", "__cell", *carry)).alias("__m"))
+        .select(id_col, F.col("__m.__d2").alias("d2"),
+                F.col("__m.__cell").alias("cell"),
+                *[F.col(f"__m.{c}").alias(c) for c in carry])
+    )
+
+
+def _argmin_cell(centroids, vec_col: str):
+    """In-ROW nearest-centroid argmin (r6, guide §2.4): an array of
+    (d2, cell) structs — one decimal-fold score per centroid, centroids
+    inlined as plan literals — reduced with array_min, whose struct
+    comparison is exactly the min(struct(d2, cell)) the r5 shape computed
+    with a crossJoin ×k row fan-out plus a corpus-wide groupBy shuffle.
+    Same fold, same tie-break, zero exchanges. Returns a struct column
+    with fields d2 and cell; plan size is k × dim literals, bounded by the
+    quantizer knob (the same bound the inline centroid scoring in
+    _embed_blocked_pairs relies on)."""
+    return F.array_min(F.array(*[
+        F.struct(
+            (
+                F.lit(float(_py_dot_dec(v, v)))
+                - 2 * _dot_dec(F.col(vec_col),
+                               F.array(*[F.lit(float(x)) for x in v]))
+            ).alias("d2"),
+            F.lit(c).alias("cell"),
+        )
+        for c, v in centroids
+    ]))
+
+
 def train_kmeans(
     embeddings: DataFrame,
     k: int,
@@ -71,40 +131,36 @@ def train_kmeans(
     emb = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
+    # r6 (guide §2.5): embedding tables are byte-small but the per-row
+    # k×dim decimal fold is compute-dense; the scan yields 1-2 splits, so
+    # without a deliberate repartition every assignment pass runs on 1-2
+    # cores. One narrow hash exchange per pass buys session-width compute
+    # (parameterized by the session conf, never a local constant).
+    emb = emb.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "vec_id")
     seeds = emb.orderBy("vec_id").limit(k).collect()
     cents: list[tuple[int, list[float]]] = [
         (i, [float(v) for v in r.embedding]) for i, r in enumerate(seeds)
     ]
     inertia: list[float] = []
     for _ in range(n_iter):
-        # ‖c‖² is a per-centroid CONSTANT: fold it once driver-side with
-        # _py_dot_dec (the proven bit-identical mirror of the in-plan
-        # decimal fold) instead of re-folding it for every (vector, cell)
-        # row — halves the decimal work of each assignment pass
-        cent_df = spark.createDataFrame(
-            [(c, v, float(_py_dot_dec(v, v))) for c, v in cents],
-            "cell int, centroid array<double>, c2 double",
-        )
         # argmin_c ‖v-c‖² == argmin_c (‖c‖² - 2·v·c): rank by the decimal
-        # fold so ties and near-ties resolve identically on every run
-        scored = emb.crossJoin(F.broadcast(cent_df)).select(
-            "vec_id",
-            "embedding",
-            "cell",
-            (
-                F.col("c2")
-                - 2 * _dot_dec(F.col("embedding"), F.col("centroid"))
-            ).alias("d2"),
-        )
-        # (d2, cell) is unique per vector, so the lexicographic struct min
-        # IS the (d2, cell)-ordered first row; embedding rides along
-        asg = (
-            scored.groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cell", "embedding")).alias("m"))
-            .select("vec_id", F.col("m.d2").alias("d2"),
-                    F.col("m.cell").alias("cell"),
-                    F.col("m.embedding").alias("embedding"))
-        )
+        # fold so ties and near-ties resolve identically on every run.
+        # ‖c‖² is a per-centroid CONSTANT folded once driver-side with
+        # _py_dot_dec (the proven bit-identical mirror of the in-plan
+        # fold). r6: the argmin happens IN-ROW (_argmin_cell) — the r5
+        # crossJoin ×k fan-out plus corpus-wide groupBy(vec_id) shuffle
+        # per iteration is gone; each iteration is now one map-only
+        # assignment pass feeding the centroid-update aggregate.
+        if len(cents) <= _inline_max_cells():
+            asg = emb.select(
+                "vec_id", "embedding",
+                _argmin_cell(cents, "embedding").alias("m"),
+            ).select("vec_id", F.col("m.d2").alias("d2"),
+                     F.col("m.cell").alias("cell"), "embedding")
+        else:
+            asg = _argmin_join(emb, "vec_id", "embedding", cents,
+                               ["embedding"])
         agg = asg.select(
             "cell", "d2", F.posexplode("embedding").alias("pos", "v")
         )
@@ -162,22 +218,24 @@ def assign_cells(
         raise ValueError(
             f"assign_cells: map-typed columns {unorderable} are not "
             "orderable inside the argmin struct; drop or re-encode them")
-    spark = embeddings.sparkSession
-    cent_df = spark.createDataFrame(
-        [(c, v, float(_py_dot_dec(v, v))) for c, v in centroids],
-        "cell int, centroid array<double>, c2 double",
-    )
     rest = [c for c in embeddings.columns if c != id_col]
-    scored = embeddings.crossJoin(F.broadcast(cent_df)).withColumn(
-        "__d2",
-        F.col("c2") - 2 * _dot_dec(F.col(vec_col), F.col("centroid")),
-    )
-    return (
-        scored.groupBy(id_col)
-        .agg(F.min(F.struct("__d2", "cell", *rest)).alias("__m"))
-        .select(id_col, *[F.col(f"__m.{c}").alias(c) for c in rest],
-                F.col("__m.cell").alias("cell"))
-    )
+    # same deliberate repartition as train_kmeans: the k×dim fold per row
+    # is the cost, the input bytes are not (guide §2.5)
+    embeddings = embeddings.repartition(
+        int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        id_col)
+    # r6: in-row argmin (see _argmin_cell) — map-only, so ride-along
+    # columns simply stay on their row; no comparator, no shuffle. The
+    # reserved/unorderable guards above are kept as the API contract:
+    # above the inline bound the keyed fallback's comparator really does
+    # carry the ride-alongs.
+    if len(centroids) <= _inline_max_cells():
+        return embeddings.select(
+            id_col, *rest,
+            _argmin_cell(centroids, vec_col)["cell"].alias("cell"),
+        )
+    return _argmin_join(embeddings, id_col, vec_col, centroids, rest) \
+        .select(id_col, *rest, "cell")
 
 
 def centroids_path(index_dir: str) -> str:

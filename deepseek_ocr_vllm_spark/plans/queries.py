@@ -533,19 +533,24 @@ def w1_distinct_on_first_per_key(spark, sf_dir):
 )
 def w5_confidence_ranked_best(spark, sf_dir):
     """W5 multi-key tiebreak rank-1 dedup (V12__...:81-99: confidence DESC
-    NULLS LAST, updated_at DESC NULLS LAST, id)."""
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc_nulls_last(),
-        F.col("o_orderdate").desc_nulls_last(),
-        F.col("o_orderkey"),
-    )
+    NULLS LAST, updated_at DESC NULLS LAST, id).
+
+    r6 (guide §2.4): the rank-1 row is a max(struct) hash aggregate —
+    (price, date, −orderkey) struct max IS the (price DESC, date DESC,
+    orderkey ASC) first row (orders carries no NULLs in these columns;
+    −orderkey is exact BIGINT negation) — with map-side partial combine,
+    where the r5 row_number window shuffled AND per-partition-sorted the
+    full orders table to keep one row per customer."""
     return (
         t(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        .groupBy("o_custkey")
+        .agg(F.max(F.struct(
+            F.col("o_totalprice"), F.col("o_orderdate"),
+            (-F.col("o_orderkey")).alias("nk"))).alias("m"))
         .select(
-            "o_custkey", "o_orderkey",
-            F.col("o_totalprice").cast("double").alias("best_price"),
+            "o_custkey",
+            (-F.col("m.nk")).alias("o_orderkey"),
+            F.col("m.o_totalprice").cast("double").alias("best_price"),
         )
         .orderBy("o_custkey")
     )

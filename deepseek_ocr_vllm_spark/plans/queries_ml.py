@@ -213,6 +213,21 @@ def _minhash_cfg() -> tuple[int, int]:
     return n, rpb
 
 
+def _n_shuffle(spark) -> int:
+    """The session's shuffle-partition count — the scale-adaptive
+    parallelism target for deliberate repartitions placed BEFORE
+    CPU-heavy map work (r6, guide §2.5 'input skew' / §6): the corpora
+    here are byte-small but compute-dense (128 md5s or a k×dim decimal
+    fold per row), so the parquet scan yields 1–4 splits and AQE's
+    byte-based coalescing keeps post-shuffle partitions just as few —
+    leaving 28+ cores idle under the most expensive expressions. A hash
+    repartition on the grouping key costs one exchange of the narrow
+    input and makes every downstream stage (dedup, aggregate) partition-
+    local. Parameterized by spark.sql.shuffle.partitions, never a local
+    constant."""
+    return int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
 def _minhash_oracle() -> str:
     n_minhash, rows_per_band = _minhash_cfg()
     return f"""
@@ -254,29 +269,58 @@ def _minhash_oracle() -> str:
     """
 
 
-def _minhash_from_shingles(spark, ds, n_minhash: int, rows_per_band: int):
+def _minhash_from_shingles(spark, ds, n_minhash: int, rows_per_band: int,
+                           materialize: bool = False):
     """MinHash+LSH candidates→verify core over a DISTINCT (doc_id, shingle)
     set; returns (result_df, candidates_df) so bench-scale runs can report
-    the candidate-pair count alongside the verified output."""
-    mh = (
-        ds.crossJoin(
-            spark.range(n_minhash).select(F.col("id").cast("int").alias("j"))
+    the candidate-pair count alongside the verified output.
+
+    r6 restructure (guide §2.3/§2.4) — identical rows, new shape:
+
+    * ONE-PASS signatures: the r5 shape crossJoined every (doc, shingle)
+      row against spark.range(n_minhash) (a ×128 row fan-out at production
+      knobs) and shuffled the (doc_id, j) partials — ~900M rows at sf1.
+      Now each row computes its n_minhash md5s as columns and ONE hash
+      aggregate takes n_minhash MINs per doc: same min-over-md5-strings
+      math, no fan-out, and the shuffle carries one row per doc.
+    * ``materialize=True`` (the full-corpus arm): the band table (the LSH
+      signature proxy — n_bands rows × one short string per doc, bounded
+      ~300 B/doc at any corpus size) is localCheckpoint-ed because the
+      self-join references it on both sides — without the cut the whole
+      shingle→signature chain re-runs per side; and verify runs off the
+      CANDIDATE-DOC slice of ds (cand is materialized — tiny, the whole
+      point of LSH — and its doc ids broadcast-semi-join prune ds once),
+      so the corpus-sized shingle table is scanned twice total
+      (signatures + the pruning pass) instead of four times, and is never
+      pinned. The oracle arm keeps the lazy lineage: its ds slice is
+      already checkpointed and bounded, and the visible plan is what the
+      knob tests inspect."""
+    hcols = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{j}")))).alias(f"h{j}")
+        for j in range(n_minhash)
+    ]
+    mh = ds.groupBy("doc_id").agg(*hcols)
+    n_bands = -(-n_minhash // rows_per_band)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.concat_ws("|", *[
+                F.col(f"h{j}")
+                for j in range(bi * rows_per_band,
+                               min((bi + 1) * rows_per_band, n_minhash))
+            ]).alias("band_key"),
         )
-        .groupBy("doc_id", "j")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("shingle"), F.lit(":"), F.col("j").cast("string")))
-            ).alias("h")
-        )
-    )
+        for bi in range(n_bands)
+    ]
     bands = (
-        mh.withColumn("band_id", (F.col("j") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.array_join(F.array_sort(F.collect_list(F.struct("j", "h"))).h, "|")
-            .alias("band_key")
+        mh.select(
+            "doc_id", F.explode(F.array(*band_structs)).alias("bx")
         )
+        .select("doc_id", F.col("bx.band_id").alias("band_id"),
+                F.col("bx.band_key").alias("band_key"))
     )
+    if materialize:
+        bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -289,8 +333,21 @@ def _minhash_from_shingles(spark, ds, n_minhash: int, rows_per_band: int):
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
-    sa = ds.alias("sa")
-    sb = ds.alias("sb")
+    if materialize:
+        cand = cand.localCheckpoint(eager=True)
+        cand_docs = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        ds_verify = (
+            ds.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        ds_verify = ds  # caller already checkpointed the bounded slice
+    sa = ds_verify.alias("sa")
+    sb = ds_verify.alias("sb")
     ver = (
         F.broadcast(cand)
         .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
@@ -299,7 +356,7 @@ def _minhash_from_shingles(spark, ds, n_minhash: int, rows_per_band: int):
         .groupBy("doc_a", "doc_b", "n_shared_bands")
         .agg(F.count("*").alias("n_common"))
     )
-    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = ds_verify.groupBy("doc_id").agg(F.count("*").alias("n"))
     za = sizes.alias("za")
     zb = sizes.alias("zb")
     jac = (
@@ -348,8 +405,19 @@ def dd_minhash_full(spark, sf_dir):
     design; correctness is gated at oracle scale on the identical code
     path. Returns (result_df, candidates_df)."""
     n_minhash, rows_per_band = _minhash_cfg()
-    ds = _shingles(spark, sf_dir, max_doc=None).distinct()
-    return _minhash_from_shingles(spark, ds, n_minhash, rows_per_band)
+    # r6: hash-repartition the shingle rows by doc_id BEFORE the dedup —
+    # HashPartitioning(doc_id) satisfies the (doc_id, shingle) clustering,
+    # so the dedup AND the n_minhash-column min aggregate both run
+    # partition-local on _n_shuffle cores with ONE exchange total. The r5
+    # shape left the 128-md5s-per-row aggregate on the byte-based
+    # (AQE-coalesced) partitioning of distinct() — ≤4 partitions at sf1.
+    ds = (
+        _shingles(spark, sf_dir, max_doc=None)
+        .repartition(_n_shuffle(spark), "doc_id")
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+    return _minhash_from_shingles(spark, ds, n_minhash, rows_per_band,
+                                  materialize=True)
 
 
 _NIBBLE_BIT = (
@@ -379,7 +447,8 @@ def _simhash_sql(engine: str, n_bits: int = 16,
                  max_ham: int = 4,
                  where: str = "WHERE doc_id < 200",
                  emit: str = "pairs",
-                 max_band_pop: int | None = None) -> str:
+                 max_band_pop: int | None = None,
+                 sig_table: str | None = None) -> str:
     """SimHash over word tokens; identical nibble math both engines.
 
     The DuckDB oracle keeps the naive all-pairs join (it DEFINES the
@@ -426,7 +495,6 @@ def _simhash_sql(engine: str, n_bits: int = 16,
     else:
         toks = ("SELECT doc_id, explode(split(text, ' ')) AS w "
                 f"FROM documents {where}")
-        jgen = f"LATERAL VIEW explode(sequence(1, {n_bits})) r AS j"
         src = "bands"
         if max_band_pop is not None:
             src = "bands_capped"
@@ -470,7 +538,8 @@ def _simhash_sql(engine: str, n_bits: int = 16,
     )"""
     tail = ("" if emit == "cand_count"
             else "\n    ORDER BY hamming, doc_a, doc_b LIMIT 200")
-    return f"""
+    if engine == "duck":
+        return f"""
     WITH toks AS ({toks}),
     bits AS (
       SELECT doc_id, j,
@@ -483,9 +552,88 @@ def _simhash_sql(engine: str, n_bits: int = 16,
       SELECT doc_id,
              SUM(CASE WHEN s > 0 THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END) AS simhash
       FROM bits GROUP BY doc_id
-    ){bands_cte}
+    )
     {pair_src}{tail}
     """
+    if sig_table is not None:
+        sig_src = f"WITH sig AS (SELECT doc_id, simhash FROM {sig_table})"
+    else:
+        sig_src = f"WITH {_simhash_sig_ctes(toks, n_bits)}"
+    return f"""
+    {sig_src}{bands_cte}
+    {pair_src}{tail}
+    """
+
+
+def _simhash_sig_ctes(toks: str, n_bits: int) -> str:
+    """Spark-arm signature chain (r6 optimization, guide §2.3/§4.1).
+
+    The r5 shape fanned every token row out ×n_bits (LATERAL VIEW explode)
+    and re-evaluated md5(w) on every fanned row, then shuffled the
+    (doc_id, j) partials — at sf1 that is ~240M rows and ~240M md5 calls
+    per evaluation. This chain computes md5 ONCE per token, maps the hex
+    digits to their nibble parity in one codegen'd translate() (hex digit
+    d has odd low bit exactly for '13579bdf'), and aggregates the n_bits
+    per-doc bit counts as n_bits SUM columns in a single hash aggregate —
+    one shuffle of one row per doc, no fan-out.
+
+    Integer-exact equivalence to the oracle's signed-sum formulation:
+    s_j = (+1 per odd-nibble token) + (-1 per even) = 2*c_j - n, so
+    s_j > 0  <=>  2*c_j > n. Bit weights are integer literals, so the
+    signature is bit-identical to the r5 SQL (pinned by
+    tests/test_simhash_band_cap_semantics' pure-Python recomputation)."""
+    cols = "".join(
+        f",\n             SUM(ascii(substr(m, {j}, 1)) - 48) AS c{j}"
+        for j in range(1, n_bits + 1)
+    )
+    sig_expr = "\n             + ".join(
+        f"CASE WHEN 2 * c{j} > n THEN {1 << (j - 1)} ELSE 0 END"
+        for j in range(1, n_bits + 1)
+    )
+    return f"""toks AS ({toks}),
+    tb AS (
+      SELECT doc_id,
+             translate(substr(md5(w), 1, {n_bits}),
+                       '0123456789abcdef', '0101010101010101') AS m
+      FROM toks
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n{cols}
+      FROM tb GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST({sig_expr} AS BIGINT) AS simhash
+      FROM agg
+    )"""
+
+
+def _simhash_sig_view(spark, n_bits: int, where: str) -> str:
+    """Materialize the per-doc signature table once and register it as a
+    uniquely-named temp view (r6, guide §2.4/§5): the band self-join
+    references sig on BOTH sides, and the cand-count twin query references
+    it twice more — without a plan cut the whole toks→agg→sig chain is
+    recomputed per reference (the r5 plan computed it 2× per query, 4× per
+    full-arm bench iteration). The signature table is the classic
+    lightweight proxy (guide §8): one row and one BIGINT per doc, bounded
+    ~8 B/doc at any corpus size, so pinning it is cheap where re-deriving
+    it re-reads every text byte."""
+    import uuid
+
+    # the repartition hint spreads the md5-per-token map work over the
+    # session's shuffle partitions BEFORE the explode (the documents scan
+    # is 1-4 byte-sized splits); the sig aggregate then reuses the doc_id
+    # partitioning — one narrow exchange, full-width compute (guide §2.5)
+    toks = ("SELECT doc_id, explode(split(text, ' ')) AS w FROM ("
+            f"SELECT /*+ REPARTITION({_n_shuffle(spark)}, doc_id) */ "
+            f"doc_id, text FROM documents {where}) src")
+    sig = spark.sql(
+        f"WITH {_simhash_sig_ctes(toks, n_bits)}\n"
+        "    SELECT doc_id, simhash FROM sig"
+    ).localCheckpoint(eager=True)
+    view = "simhash_sig_" + uuid.uuid4().hex[:8]
+    sig.createOrReplaceTempView(view)
+    return view
 
 
 @q("dd_simhash", _simhash_sql("duck"))
@@ -495,7 +643,12 @@ def dd_simhash(spark, sf_dir):
     hamming verify (see _simhash_sql: identical result set to the oracle's
     all-pairs spec, but no O(n²) join). Declarative SQL end to end (no
     UDF): Catalyst plans the explodes, aggregations and the band
-    equi-join."""
+    equi-join. r6: the signature chain computes md5 once per token and
+    aggregates bit counts in one pass (_simhash_sig_ctes). The oracle
+    slice stays a SINGLE lazy query — measured at sf1, adding the full
+    arm's sig checkpoint here costs more in extra job latency than the
+    200-doc chain recompute it saves (the checkpoint belongs to
+    dd_simhash_full, where the chain is corpus-sized)."""
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_simhash_sql("spark"))
 
@@ -525,9 +678,15 @@ def dd_simhash_full(spark, sf_dir):
     Returns (pairs_df, cand_count_df)."""
     _SIMHASH_FULL = _simhash_full_cfg()
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # one signature materialization shared by the pairs AND cand-count
+    # twins (r6): previously each twin recomputed the full token chain
+    # per self-join side — 4 evaluations per bench iteration
+    view = _simhash_sig_view(spark, _SIMHASH_FULL["n_bits"],
+                             _SIMHASH_FULL["where"])
     return (
-        spark.sql(_simhash_sql("spark", **_SIMHASH_FULL)),
-        spark.sql(_simhash_sql("spark", emit="cand_count", **_SIMHASH_FULL)),
+        spark.sql(_simhash_sql("spark", sig_table=view, **_SIMHASH_FULL)),
+        spark.sql(_simhash_sql("spark", emit="cand_count", sig_table=view,
+                               **_SIMHASH_FULL)),
     )
 
 
@@ -682,7 +841,8 @@ def _embed_cosine_oracle() -> str:
 
 def _embed_blocked_pairs(e, max_cell_pop: int, probes: int,
                          n_vecs: int | None = None,
-                         broadcast_pairs: bool = False):
+                         broadcast_pairs: bool = False,
+                         inrow_probe: bool = False):
     """Candidate-pair generation for dd_embed_cosine: multiprobe cell
     assignment + hot-cell sub-split, all equi-joins. Returns a DataFrame
     (vec_a, vec_b) of DISTINCT candidate pairs. Factored out so the
@@ -718,19 +878,45 @@ def _embed_blocked_pairs(e, max_cell_pop: int, probes: int,
     cent_arrays = {cell: [m[p] for p in sorted(m)]
                    for cell, m in by_cell.items()}
 
-    if len(cent_arrays) <= _embed_inline_max_cells():
-        # inline-literal scoring: k x dim literal doubles in the plan —
-        # shuffle-free, but the Catalyst expression tree grows one decimal
-        # fold per cell, so it is BOUNDED by the knob (ADVICE r4: an
-        # unbounded quantizer k would bloat the tree the project's
-        # linear-tree invariant guards against)
-        def score_against(arr):
-            # the ONE decimal fold (module-level _dot_dec) against the
-            # inlined centroid literal — never a second copy of the
-            # bit-exactness-critical fold
-            return _dot_dec(F.col("embedding"),
-                            F.array(*[F.lit(float(v)) for v in arr]))
+    inline = len(cent_arrays) <= _embed_inline_max_cells()
 
+    def score_against(arr):
+        # the ONE decimal fold (module-level _dot_dec) against the
+        # inlined centroid literal — never a second copy of the
+        # bit-exactness-critical fold. Inline-literal scoring is
+        # shuffle-free but grows the Catalyst tree one fold per cell, so
+        # it is BOUNDED by the knob (ADVICE r4: an unbounded quantizer k
+        # would bloat the tree the linear-tree invariant guards against).
+        return _dot_dec(F.col("embedding"),
+                        F.array(*[F.lit(float(v)) for v in arr]))
+
+    if inrow_probe and inline and probes - 1 == 1:
+        # r6 (guide §2.4): top-1 probe computed IN-ROW — an array of
+        # (−score, cell) structs filtered to nonhome cells and reduced
+        # with array_min, which IS the r5 min(struct(−score, cell)) hash
+        # aggregate without the ×k explode and the corpus-wide
+        # groupBy(vec_id) exchange (equality pinned in
+        # tests/test_operators_misc.py). The bench/production arms opt in;
+        # the oracle slice keeps the keyed r5 shape, which measured faster
+        # at its tiny scale. Scores come from a decimal fold cast to
+        # double, so every zero is the same +0.0 and negation cannot
+        # split a tie.
+        best = F.array_min(F.filter(
+            F.array(*[
+                F.struct((-score_against(arr)).alias("ns"),
+                         F.lit(cell).alias("cell"))
+                for cell, arr in sorted(cent_arrays.items())
+            ]),
+            lambda s: s["cell"] != F.col("label"),
+        ))
+        probe = (
+            e.select("vec_id", best.alias("b"))
+            .filter(F.col("b").isNotNull())
+            .select("vec_id", F.col("b.cell").alias("cell"))
+        )
+        return _pairs_from_assignment(e, probe, max_cell_pop, probes,
+                                      n_vecs, broadcast_pairs)
+    if inline:
         vscore = e.select(
             "vec_id", "label",
             F.explode(F.array(*[
@@ -757,11 +943,9 @@ def _embed_blocked_pairs(e, max_cell_pop: int, probes: int,
         )
     nonhome = vscore.filter(F.col("cell") != F.col("label"))
     if probes - 1 == 1:
-        # top-1 probe (the production default): argmax score / tie-min
-        # cell == min(struct(-score, cell)) — a hash agg whose map-side
-        # partial combine shuffles n rows instead of the rank window's
-        # n×k. Scores come from a decimal fold cast to double, so every
-        # zero is the same +0.0 and negation cannot split a tie.
+        # keyed top-1 fallback (k above the inline bound): min(struct) hash
+        # agg — map-side partial combine shuffles n rows, not the n×k a
+        # rank window would
         probe = (
             nonhome.groupBy("vec_id")
             .agg(F.min(F.struct((-F.col("score")).alias("ns"),
@@ -782,6 +966,15 @@ def _embed_blocked_pairs(e, max_cell_pop: int, probes: int,
             .filter(F.col("rk") <= probes - 1)
             .select("vec_id", "cell")
         )
+    return _pairs_from_assignment(e, probe, max_cell_pop, probes, n_vecs,
+                                  broadcast_pairs)
+
+
+def _pairs_from_assignment(e, probe, max_cell_pop, probes, n_vecs,
+                           broadcast_pairs):
+    """Tail of _embed_blocked_pairs: home+probe assignment union, hot-cell
+    sub-split, and the (cell, sub) equi self-join producing DISTINCT
+    candidate pairs (factored out in r6 so both probe paths share it)."""
     asg = e.select("vec_id", F.col("label").alias("cell")).unionByName(probe)
     if n_vecs is not None and n_vecs * probes <= max_cell_pop:
         # every cell's population is bounded by the total assignment count,
@@ -830,6 +1023,19 @@ def embed_pairs_unlabeled(emb, max_cell_pop: int | None = None,
         .withColumn("label", F.col("cell").cast("string"))
         .drop("cell")
     )
+    # r6: one deliberate narrow exchange AFTER the in-row assignment
+    # argmin — it is the plan's reuse point (ReusedExchange): downstream,
+    # pair generation references the labeled table several times (home
+    # cells, probe scoring, cell populations, both self-join sides), and
+    # without an exchange above the argmin every reference re-evaluates
+    # the k×dim decimal folds per row (measured 3.4× slower at sf1 when
+    # this was map-only end to end). The exchange carries exactly what
+    # r5's keyed-argmin aggregate shuffled — (vec_id, embedding, label) —
+    # so the byte cost is unchanged while the argmin itself became
+    # map-side (guide §2.4, §5 'localCheckpoint vs lineage').
+    labeled = labeled.repartition(
+        int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "vec_id")
     return _embed_blocked_pairs(
         labeled,
         _max_cell_pop() if max_cell_pop is None else max_cell_pop,
@@ -944,7 +1150,14 @@ def dd_embed_cosine_full(spark, sf_dir):
     broadcast hints on corpus-sized sides (AQE picks the strategy at this
     volume), numpy prefilter ALWAYS engaged (this is the regime the size
     gate enables it for). Returns (result_df, candidates_df)."""
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    # r6 (guide §2.5): the embeddings scan is one byte-sized split; the
+    # in-row centroid fold is the expensive map work — repartition first
+    # so it runs at session width
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .repartition(_n_shuffle(spark), "vec_id")
+    )
     ids = _embed_blocked_pairs(e, _max_cell_pop(), _embed_probes())
     return (
         _embed_score_pairs(e, ids, broadcast_sides=False, prefilter=True),
@@ -1076,7 +1289,12 @@ def sim_ivf_topk(spark, sf_dir):
     quantizer; probe the 2 nearest centroids, brute-force only inside those
     buckets. At 100 TB the candidate set shrinks ~5x per probed bucket and
     the centroid table broadcasts."""
-    e = t(spark, sf_dir, "embeddings")
+    # r6 (guide §2.5): one narrow exchange so the centroid aggregation and
+    # the decimal folds over the probed buckets run at session width
+    # instead of on the 1-2 byte-sized scan splits; the repeated e
+    # subtrees share the exchange (ReusedExchange)
+    e = t(spark, sf_dir, "embeddings").repartition(_n_shuffle(spark),
+                                                   "vec_id")
 
     def dot_dec(x, y):
         prod = F.zip_with(

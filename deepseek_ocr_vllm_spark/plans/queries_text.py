@@ -364,20 +364,33 @@ def j5_reconciliation_diff(spark, sf_dir):
     analysis goes exponential. The materializer is config-gated
     (_stage_lander): localCheckpoint locally, a durable parquet scratch
     table at cluster scale — identical output either way (test-pinned)."""
-    # two landings suffice to keep every downstream plan linear: lb1/lp1
-    # are the only nodes referenced on BOTH sides of the remaining cascade
-    # (stage-2 match + stage-2 leftovers + stage-3 outer); everything above
-    # them is referenced at most twice from a small scan subtree
+    # two landings keep every downstream plan linear: lb1/lp1 are the only
+    # nodes referenced on BOTH sides of the remaining cascade (stage-2
+    # match + stage-2 leftovers + stage-3 outer). r6 (guide §2.4/§5):
+    # the landings are re-cut so the EXPENSIVE stage-1 chain (both
+    # window-dedup sides + the match join) runs exactly once — r5 landed
+    # the two leftover sides in two separate jobs, each of which
+    # re-evaluated s1, and the final job evaluated it a third time for
+    # allcells. Now s1 itself is landed (it is the minimum cut: matched
+    # cells, bounded by the input), and both leftovers land in ONE job as
+    # a side-tagged union over the landed s1 — identical rows, test- and
+    # oracle-pinned.
     land = _stage_lander(spark)
     c = t(spark, sf_dir, "customer")
     base = _recon_side(c, pipe=False)
     pipe = _recon_side(c, pipe=True)
 
-    s1 = _recon_match(_recon_uniq(base, "join_key"),
-                      _recon_uniq(pipe, "join_key"),
-                      "join_key", "join_key")
-    lb1 = land(_recon_leftover(base, s1, "b_row"), "lb1")
-    lp1 = land(_recon_leftover(pipe, s1, "p_row"), "lp1")
+    s1 = land(_recon_match(_recon_uniq(base, "join_key"),
+                           _recon_uniq(pipe, "join_key"),
+                           "join_key", "join_key"), "s1")
+    l1 = land(
+        _recon_leftover(base, s1, "b_row").withColumn("__side", F.lit("b"))
+        .unionByName(
+            _recon_leftover(pipe, s1, "p_row").withColumn("__side",
+                                                          F.lit("p"))),
+        "l1")
+    lb1 = l1.filter("__side = 'b'").drop("__side")
+    lp1 = l1.filter("__side = 'p'").drop("__side")
 
     s2 = _recon_match(_recon_uniq(lb1, "composite_key"),
                       _recon_uniq(lp1, "composite_key"),
@@ -786,19 +799,24 @@ def x7_ner_label_counts(spark, sf_dir):
     )
 
 
-def trigram_grams(name_col: str):
-    """Distinct char trigrams of a name column, exploded one per row.
+def trigram_gram_array(name_col: str):
+    """Distinct char trigrams of a name column as an ARRAY column.
 
     sequence(1, 0) in Spark auto-steps DOWN to [1, 0] — for names shorter
     than 3 chars that would emit bogus short grams while the DuckDB
     range(1, length-1) is empty. greatest(...,1) + the length(g)=3 filter
     makes sub-trigram names yield NO grams on both engines (substring past
     the end returns the short tail)."""
-    return F.explode(F.expr(
+    return F.expr(
         f"array_distinct(filter(transform("
         f"sequence(1, greatest(length({name_col}) - 2, 1)), "
         f"i -> substring({name_col}, i, 3)), g -> length(g) = 3))"
-    )).alias("g")
+    )
+
+
+def trigram_grams(name_col: str):
+    """Distinct char trigrams of a name column, exploded one per row."""
+    return F.explode(trigram_gram_array(name_col)).alias("g")
 
 
 def _max_gram_df_frac() -> float:
@@ -896,13 +914,42 @@ def t5_fuzzy_trigram_search(spark, sf_dir):
     )
 
 
-def _trigram_best_match(pn, tn):
+def _trigram_best_match(pn, tn, wide: bool = False):
     """Trigram fuzzy-match core: pn(probe_key, pname) against
     tn(target_key, tname) → (best_df with rk=1 rows, candidate inter_df).
     Hot-gram DF cap, gram equi-join, probe side broadcast — the t5 shape,
     factored so the bench-scale run (part names, 20x the supplier table)
-    reuses the identical plan and can report its candidate-pair count."""
-    tg_all = tn.select("target_key", trigram_grams("tname"))
+    reuses the identical semantics and can report its candidate-pair
+    count.
+
+    ``wide=False`` (the oracle arm) keeps the r5 plan verbatim — at the
+    1k-name oracle scale the r6 scale shape's extra exchange and broadcast
+    stages cost more latency than they save (measured in interleaved
+    sf1 A/Bs). ``wide=True`` (the bench/production arm) switches to the
+    r6 scale shape; both produce identical rows
+    (tests/test_operators_misc.py pins the equality):
+
+    * the targets are hash-repartitioned before the gram fan-out — the
+      name scan is 1-2 byte-sized splits, so without it the candidate
+      fan-out (the dominant compute) runs on 1-2 cores (guide §2.5);
+    * the target gram-set size nt rides ALONG on each gram row
+      (array_except against the tiny hot-gram set — bounded by
+      construction at ≤ avg_grams_per_name / MAX_GRAM_DF entries — then
+      size() before the explode) instead of being re-aggregated into a
+      corpus-keyed tsz table that the r5 plan shuffle-joined against
+      every candidate row (guide §2.3);
+    * best-per-probe is a min(struct) hash aggregate (map-side partial
+      combine; sim > 0 always since nc ≥ 1, so the (−sim, target_key)
+      struct min IS the (sim DESC, target_key) first row) instead of a
+      row_number window that shuffled AND sorted every candidate row
+      (guide §2.4)."""
+    if wide:
+        n_part = int(tn.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        tga = (tn.repartition(n_part, "target_key")
+               .select("target_key", trigram_gram_array("tname").alias("gs")))
+        tg_all = tga.select("target_key", F.explode("gs").alias("g"))
+    else:
+        tg_all = tn.select("target_key", trigram_grams("tname"))
     nn = tg_all.agg(F.countDistinct("target_key").alias("n"))
     hot = (
         tg_all.groupBy("g")
@@ -915,26 +962,55 @@ def _trigram_best_match(pn, tn):
         pn.select("probe_key", trigram_grams("pname"))
         .join(F.broadcast(hot), "g", "left_anti")
     )
-    tg = tg_all.join(F.broadcast(hot), "g", "left_anti")
     psz = pg.groupBy("probe_key").agg(F.count("*").alias("np"))
-    tsz = tg.groupBy("target_key").agg(F.count("*").alias("nt"))
+    if not wide:
+        tg = tg_all.join(F.broadcast(hot), "g", "left_anti")
+        tsz = tg.groupBy("target_key").agg(F.count("*").alias("nt"))
+        inter = (
+            F.broadcast(pg).join(tg, "g")
+            .groupBy("probe_key", "target_key")
+            .agg(F.count("*").alias("nc"))
+        )
+        sim = (F.col("nc").cast("double")
+               / (F.col("np") + F.col("nt") - F.col("nc")))
+        scored = (
+            inter.join(F.broadcast(psz), "probe_key")
+            .join(tsz, "target_key")
+            .withColumn("sim_raw", sim)
+            .withColumn("rk", F.row_number().over(
+                Window.partitionBy("probe_key").orderBy(F.desc("sim_raw"),
+                                                        "target_key")))
+        )
+        best = (
+            scored.filter("rk = 1")
+            .select("probe_key", "target_key",
+                    F.round("sim_raw", 6).alias("sim"))
+        )
+        return best, inter
+    hot_set = hot.agg(F.collect_list("g").alias("hot_gs"))
+    tg = (
+        tga.crossJoin(F.broadcast(hot_set))
+        .select("target_key", F.array_except("gs", "hot_gs").alias("gs"))
+        .select("target_key", F.size("gs").alias("nt"),
+                F.explode("gs").alias("g"))
+    )
     inter = (
         F.broadcast(pg).join(tg, "g")
         .groupBy("probe_key", "target_key")
-        .agg(F.count("*").alias("nc"))
+        .agg(F.count("*").alias("nc"), F.min("nt").alias("nt"))
     )
     sim = F.col("nc").cast("double") / (F.col("np") + F.col("nt") - F.col("nc"))
     scored = (
         inter.join(F.broadcast(psz), "probe_key")
-        .join(tsz, "target_key")
         .withColumn("sim_raw", sim)
-        .withColumn("rk", F.row_number().over(
-            Window.partitionBy("probe_key").orderBy(F.desc("sim_raw"),
-                                                    "target_key")))
     )
     best = (
-        scored.filter("rk = 1")
-        .select("probe_key", "target_key", F.round("sim_raw", 6).alias("sim"))
+        scored.groupBy("probe_key")
+        .agg(F.min(F.struct((-F.col("sim_raw")).alias("ns"),
+                            F.col("target_key").alias("tk"),
+                            F.col("sim_raw").alias("sv"))).alias("m"))
+        .select("probe_key", F.col("m.tk").alias("target_key"),
+                F.round(F.col("m.sv"), 6).alias("sim"))
     )
     return best, inter
 
@@ -966,4 +1042,4 @@ def t5_fuzzy_full(spark, sf_dir):
     tn = part.select(
         F.col("p_partkey").alias("target_key"), F.lower("p_name").alias("tname")
     )
-    return _trigram_best_match(pn, tn)
+    return _trigram_best_match(pn, tn, wide=True)

@@ -154,14 +154,16 @@ def test_env_knobs_read_at_build_time(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_MINHASH_PERMS", "12")
     monkeypatch.setenv("SPARK_GRAFT_MINHASH_ROWS_PER_BAND", "3")
     plan = dd_minhash_lsh(spark, sf)._jdf.queryExecution().analyzed().toString()
-    assert "(0, 12," in plan  # spark.range(12) — perms knob took effect
+    # r6: one min-aggregate column per permutation (h0..h11) — the perms
+    # knob shows up as the highest-numbered minhash column
+    assert "h11" in plan  # perms knob took effect
     sql = _minhash_oracle()
     assert "range(12)" in sql and "FLOOR(j / 3)" in sql
 
     monkeypatch.setenv("SPARK_GRAFT_MINHASH_PERMS", "6")
     monkeypatch.setenv("SPARK_GRAFT_MINHASH_ROWS_PER_BAND", "2")
     plan = dd_minhash_lsh(spark, sf)._jdf.queryExecution().analyzed().toString()
-    assert "(0, 6," in plan and "(0, 12," not in plan
+    assert "h5" in plan and "h11" not in plan
 
     monkeypatch.setenv("SPARK_GRAFT_MAX_GRAM_DF", "0.77")
     assert "* 0.77" in _t5_oracle()
@@ -347,8 +349,10 @@ def test_j5_scratch_landing_identical(spark, monkeypatch, tmp_path):
     # the stage minimum-cuts actually landed as parquet
     import os
 
-    assert os.path.isdir(tmp_path / "scratch" / "lb1")
-    assert os.path.isdir(tmp_path / "scratch" / "lp1")
+    # r6 landing cut: stage-1 matches land once as "s1", both leftover
+    # sides land in one job as the side-tagged union "l1"
+    assert os.path.isdir(tmp_path / "scratch" / "s1")
+    assert os.path.isdir(tmp_path / "scratch" / "l1")
 
 
 def test_png_decoder_parses_real_wire_format():
@@ -739,3 +743,43 @@ def test_simhash_band_cap_semantics(spark):
     mid = sql_cands(4)
     assert mid == expected_cands(4)
     assert 0 < mid < uncapped  # the cap actually bit on this corpus
+
+
+def test_trigram_wide_shape_equals_oracle_shape(spark):
+    """r6: _trigram_best_match(wide=True) — the bench/production scale
+    shape (repartitioned targets, nt riding on gram rows, min-struct
+    best) — must produce EXACTLY the rows of the r5 oracle shape
+    (window + tsz join) that the driver gate pins."""
+    from deepseek_ocr_vllm_spark.plans.queries_text import _trigram_best_match
+
+    names = [(i, f"part metal {i % 7} shade {i}") for i in range(120)]
+    tn = spark.createDataFrame(names, ["target_key", "tname"])
+    pn = spark.createDataFrame(
+        [(i, f"part metal {i % 7} shade {i + 1}") for i in range(0, 120, 5)],
+        ["probe_key", "pname"])
+    narrow_best, narrow_inter = _trigram_best_match(pn, tn, wide=False)
+    wide_best, wide_inter = _trigram_best_match(pn, tn, wide=True)
+    assert sorted(map(tuple, narrow_best.collect())) == \
+        sorted(map(tuple, wide_best.collect()))
+    # candidate SETS identical too (wide inter carries an extra nt column)
+    assert sorted((r.probe_key, r.target_key, r.nc)
+                  for r in narrow_inter.collect()) == \
+        sorted((r.probe_key, r.target_key, r.nc)
+               for r in wide_inter.collect())
+
+
+def test_embed_inrow_probe_equals_keyed_probe(spark):
+    """r6: the in-row top-1 probe argmin (array_min over (−score, cell)
+    structs) must yield exactly the candidate pairs of the r5 keyed
+    min(struct) aggregate on the same input."""
+    from deepseek_ocr_vllm_spark.plans.queries_ml import _embed_blocked_pairs
+
+    rows = [(i, str(i % 5), [float((i * 7 + j * 3) % 11) for j in range(8)])
+            for i in range(60)]
+    e = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    keyed = {(r.vec_a, r.vec_b)
+             for r in _embed_blocked_pairs(e, 10, 2).collect()}
+    inrow = {(r.vec_a, r.vec_b)
+             for r in _embed_blocked_pairs(e, 10, 2,
+                                           inrow_probe=True).collect()}
+    assert keyed == inrow and len(keyed) > 0

@@ -140,15 +140,17 @@ def test_dd_exact_single_exchange(spark):
 
 def test_mm_media_features_map_in_pandas_only(spark):
     """mm_media_features is pure plumbing: scan → JVM envelope concat →
-    one MapInPandas decode — no shuffle at all before the final presentation
-    sort, and never row-at-a-time Python (VERDICT r4 #8)."""
+    one MapInPandas decode — never row-at-a-time Python (VERDICT r4 #8).
+    r6: ONE deliberate REPARTITION_BY_NUM hash exchange is allowed — the
+    scale-adaptive decode-parallelism repartition that fires only when the
+    scan yields fewer partitions than the session width (guide §2.5); no
+    ENSURE_REQUIREMENTS hash exchange may shuffle the payload (that would
+    mean a join/agg re-shuffles the bytes accidentally)."""
     plan = _physical_plan(spark, "mm_media_features")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
-    # the only exchange allowed is the rangepartitioning for the
-    # presentation ORDER BY — nothing hash-partitions the payload bytes
-    import re
-
     hash_ex = [ln for ln in plan.splitlines()
                if "Exchange hashpartitioning" in ln]
-    assert not hash_ex, plan
+    accidental = [ln for ln in hash_ex if "REPARTITION_BY_NUM" not in ln]
+    assert not accidental, plan
+    assert len(hash_ex) <= 1, plan
