@@ -92,6 +92,136 @@ def builders(spark, sf_dir):
     return out
 
 
+def _encode_png_rgb_filtered(w: int, h: int, pix, ftype: int) -> bytes:
+    """RGB8 PNG encoder applying ONE filter type to every scanline
+    (vectorized filtering — the predictor uses only RECONSTRUCTED bytes,
+    which at encode time are the known source pixels) + stdlib deflate."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from deepseek_ocr_vllm_spark.operators.multimodal import PNG_SIG
+
+    bpp = 3
+    flat = pix.reshape(h, w * bpp).astype(np.int32)
+    prev = np.zeros((h, w * bpp), np.int32)
+    prev[1:] = flat[:-1]
+    a = np.zeros_like(flat)
+    a[:, bpp:] = flat[:, :-bpp]
+    c = np.zeros_like(flat)
+    c[:, bpp:] = prev[:, :-bpp]
+    if ftype == 0:
+        pred = np.zeros_like(flat)
+    elif ftype == 1:
+        pred = a
+    elif ftype == 2:
+        pred = prev
+    elif ftype == 3:
+        pred = (a + prev) >> 1
+    else:
+        p = a + prev - c
+        pa, pb, pc = abs(p - a), abs(p - prev), abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a,
+                        np.where(pb <= pc, prev, c))
+    filt = ((flat - pred) & 255).astype(np.uint8)
+    raws = b"".join(bytes([ftype]) + filt[r].tobytes() for r in range(h))
+
+    def chunk(cb):
+        return (struct.pack(">I", len(cb) - 4) + cb
+                + struct.pack(">I", zlib.crc32(cb)))
+
+    ihdr = b"IHDR" + struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_SIG + chunk(ihdr) + chunk(b"IDAT" + zlib.compress(raws))
+            + chunk(b"IEND"))
+
+
+def bench_png_filters(spark) -> dict:
+    """VERDICT r5 #1 evidence: MB/s of the full decode path per PNG FILTER
+    class. The fixture corpus emits filter-0 stored-block PNGs; real
+    encoders emit mostly sub/paeth rows, so this bench feeds ~256 KB
+    RGB8 PNGs deflate-compressed with each filter type through
+    extract_media_features (bench.py's mm_media_scale is frozen, so the
+    filter classes live here). r6 decode: filter 0/2 numpy, 1 per-lane
+    cumsum, 3/4 bytes-level recurrence."""
+    import hashlib
+    import inspect
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_vllm_spark.operators import multimodal
+
+    w, h, count = 320, 270, 24  # ~259 KB of pixel data per image
+    tag = hashlib.sha256(
+        (inspect.getsource(multimodal)
+         + inspect.getsource(_encode_png_rgb_filtered)
+         + f"{w}x{h}x{count}").encode()).hexdigest()[:8]
+    cache = os.path.join(tempfile.gettempdir(), f"bench_pngfilters_{tag}")
+    done = os.path.join(cache, ".complete")
+    if not os.path.exists(done):
+        shutil.rmtree(cache, ignore_errors=True)
+        rng = np.random.RandomState(20260821)
+        for ftype in range(5):
+            rows = {"doc_id": [], "payload": [], "meta": []}
+            for i in range(count):
+                # mix of smooth gradient + noise: realistic filter gains,
+                # non-trivial deflate
+                base = np.add.outer(np.arange(h) * 2,
+                                    np.arange(w * 3)).astype(np.int64)
+                pix = ((base % 256) + rng.randint(0, 32,
+                                                  size=(h, w * 3))) % 256
+                png = _encode_png_rgb_filtered(
+                    w, h, pix.astype(np.uint8), ftype)
+                rows["doc_id"].append(ftype * count + i)
+                rows["payload"].append(png)
+                rows["meta"].append({
+                    "content_type": "image/png",
+                    "size_bytes": len(png),
+                    "sha16": hashlib.sha256(png).hexdigest()[:16],
+                })
+            sub = os.path.join(cache, f"filter_{ftype}")
+            os.makedirs(sub, exist_ok=True)
+            schema = pa.schema([
+                pa.field("doc_id", pa.int64()),
+                pa.field("payload", pa.binary()),
+                pa.field("meta", pa.struct([
+                    pa.field("content_type", pa.string()),
+                    pa.field("size_bytes", pa.int64()),
+                    pa.field("sha16", pa.string()),
+                ])),
+            ])
+            pq.write_table(pa.Table.from_pydict(rows, schema=schema),
+                           os.path.join(sub, "media.parquet"))
+        open(done, "w").close()
+
+    from deepseek_ocr_vllm_spark.operators.multimodal import (
+        extract_media_features)
+
+    out = {}
+    mb = w * h * 3 * count / (1024 * 1024)
+    for ftype in range(5):
+        src = spark.read.parquet(os.path.join(cache, f"filter_{ftype}"))
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = extract_media_features(src)
+            # mean luma must be non-null for every row: decode ENGAGED
+            n_ok = df.filter("content_mean is not null").count()
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+            assert n_ok == count, (ftype, n_ok)
+        out[f"filter_{ftype}"] = {
+            "sec": round(best, 3), "rows": count,
+            "pixel_mb": round(mb, 1),
+            "mb_per_sec": round(mb / best, 1),
+        }
+    return out
+
+
 def main():
     args = sys.argv[1:]
     reps = 2
@@ -106,7 +236,13 @@ def main():
                       shuffle_partitions=int(cpus))
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
     b = builders(spark, sf_dir)
+    b["png_filter_scale"] = None  # handled specially below
     names = args or (HEADLINE + FULL)
+    if "png_filter_scale" in names:
+        names = [n for n in names if n != "png_filter_scale"]
+        print(json.dumps({"png_filter_scale": bench_png_filters(spark)}))
+        if not names:
+            return
     times: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(reps):
         for name in names:
