@@ -631,18 +631,24 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     extraction operator — same batch discipline, X1/X5 plumbing).
 
     r6 (guide §2.5 'input skew → repartition immediately after the
-    read'): when the input arrives in FEWER partitions than the session
-    width — locally these media tables are 1-4 byte-sized scan splits —
-    the Python decode (the dominant cost: full PNG pixel decode, PCM RMS)
-    would be bound to that many workers, so the input is hash-
-    repartitioned on doc_id first. The condition makes it scale-adaptive:
-    a 100-TB corpus scans as thousands of splits and the payload bytes
-    are then never shuffled at all (the r5 no-payload-shuffle claim,
-    preserved exactly where it matters). Per-row output, so the result is
-    partitioning-independent either way."""
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, "doc_id")
+    read'): the Python decode (the dominant cost: full PNG pixel decode,
+    PCM RMS) is bound to the scan's partition count, and locally these
+    media tables are 1-4 byte-sized splits. When the SIZE-adaptive width
+    (plan-time file-byte statistics, ~192 KB of input per decode task,
+    capped at the session shuffle width) exceeds the scan's split count,
+    the input is hash-repartitioned on doc_id first. Both limbs of the
+    condition keep the operator scale-honest: tiny tables skip the
+    exchange (it costs more than it parallelizes — measured at sf0.1),
+    and a 100-TB corpus already scans as thousands of splits so the
+    payload bytes are then never shuffled at all (the r5
+    no-payload-shuffle claim, preserved exactly where it matters).
+    Per-row output, so the result is partitioning-independent."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    size = int(str(stats.sizeInBytes()))
+    cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    width = max(1, min(cap, size // (192 * 1024) + 1))
+    if df.rdd.getNumPartitions() < width:
+        df = df.repartition(width, "doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

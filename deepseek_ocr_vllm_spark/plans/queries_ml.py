@@ -213,6 +213,20 @@ def _minhash_cfg() -> tuple[int, int]:
     return n, rpb
 
 
+def _adaptive_width(df, bytes_per_task: int) -> int:
+    """Scale-adaptive compute-repartition width (guide §2.5/§6): sized
+    from the relation's PLAN-TIME size statistics (file bytes — no job
+    runs), so byte-small inputs keep their few partitions (the exchange
+    would cost more than the compute it parallelizes — measured: a fixed
+    session-width repartition regressed sim_ivf_topk 2× at sf0.1 while
+    winning 35% at sf1) and larger inputs fan out, capped at the
+    session's shuffle width. Never a literal core count."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    size = int(str(stats.sizeInBytes()))
+    cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(cap, size // bytes_per_task + 1))
+
+
 def _n_shuffle(spark) -> int:
     """The session's shuffle-partition count — the scale-adaptive
     parallelism target for deliberate repartitions placed BEFORE
@@ -1290,11 +1304,18 @@ def sim_ivf_topk(spark, sf_dir):
     buckets. At 100 TB the candidate set shrinks ~5x per probed bucket and
     the centroid table broadcasts."""
     # r6 (guide §2.5): one narrow exchange so the centroid aggregation and
-    # the decimal folds over the probed buckets run at session width
-    # instead of on the 1-2 byte-sized scan splits; the repeated e
-    # subtrees share the exchange (ReusedExchange)
-    e = t(spark, sf_dir, "embeddings").repartition(_n_shuffle(spark),
-                                                   "vec_id")
+    # the decimal folds over the probed buckets stop running on the 1-2
+    # byte-sized scan splits; the repeated e subtrees share the exchange
+    # (ReusedExchange). Width is SIZE-adaptive (_adaptive_width): at the
+    # oracle/sf0.1 scale the input is small enough that a session-width
+    # exchange costs more than it parallelizes.
+    e = t(spark, sf_dir, "embeddings")
+    w = _adaptive_width(e, 192 * 1024)
+    if w >= 8:
+        # below an 8-way fan-out the exchange costs more than the
+        # parallelism buys (sf0.1 measured neutral-to-worse at w=5; the
+        # oracle slice keeps the r5 single-split plan exactly)
+        e = e.repartition(w, "vec_id")
 
     def dot_dec(x, y):
         prod = F.zip_with(
