@@ -222,8 +222,28 @@ def bench_png_filters(spark) -> dict:
     return out
 
 
+def calibration_sec(n_turns: int = 10_000) -> float:
+    """Window-drift calibration kernel (VERDICT r5 #5, adapted —
+    bench.py is frozen so the field lives here): one single-process
+    pure-Python extract over a pinned deterministic slice. Timing-only
+    code; its value divided between two measurement windows estimates
+    the host drift factor so cross-window bench numbers can be
+    normalized post hoc."""
+    from deepseek_ocr_vllm_spark import fixtures
+    from deepseek_ocr_vllm_spark.extraction import vectorized
+
+    texts = list(fixtures.gen_transcripts(n_turns)["text"])
+    vectorized.extract_batch(texts[:1000])  # warm imports/memo, untimed
+    t0 = time.time()
+    vectorized.extract_batch(texts)
+    return round(time.time() - t0, 3)
+
+
 def main():
     args = sys.argv[1:]
+    if args and args[0] == "calibration":
+        print(json.dumps({"calibration_sec": calibration_sec()}))
+        return
     reps = 2
     if args and args[0] == "--reps":
         reps = int(args[1])
