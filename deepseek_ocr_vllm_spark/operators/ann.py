@@ -205,7 +205,11 @@ def assign_cells(
     Spark still requires every struct field to be ORDERABLE (no map
     columns), and a pre-existing 'cell'/'__d2' column would silently
     corrupt the comparator, so both are rejected loudly here (ADVICE r4)."""
-    reserved = {"cell", "__d2"} & set(embeddings.columns)
+    # "d2"/"__cell"/"__m" are additionally claimed by the keyed fallback's
+    # output/comparator aliases (review r6: a ride-along named "d2" would
+    # hit AMBIGUOUS_COLUMN_REFERENCE only above the inline bound — reject
+    # loudly on both paths instead)
+    reserved = {"cell", "__d2", "d2", "__cell", "__m"} & set(embeddings.columns)
     if reserved:
         raise ValueError(
             f"assign_cells: input columns {sorted(reserved)} collide with "

@@ -643,11 +643,16 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     payload bytes are then never shuffled at all (the r5
     no-payload-shuffle claim, preserved exactly where it matters).
     Per-row output, so the result is partitioning-independent."""
-    stats = df._jdf.queryExecution().optimizedPlan().stats()
-    size = int(str(stats.sizeInBytes()))
-    cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    width = max(1, min(cap, size // (192 * 1024) + 1))
-    if df.rdd.getNumPartitions() < width:
+    from ..session import adaptive_width
+
+    width = adaptive_width(df, 192 * 1024)
+    # fire only when the fan-out at least DOUBLES parallelism: callers
+    # that already repartitioned upstream of the envelope projection
+    # (mm_media_features does, on the narrow rows — the better plan) must
+    # not pay a second, payload-carrying exchange for a ±1-partition
+    # disagreement between the scan's file-byte stats and the projected
+    # plan's estimate (review r6)
+    if df.rdd.getNumPartitions() * 2 <= width:
         df = df.repartition(width, "doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

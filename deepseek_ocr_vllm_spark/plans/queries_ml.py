@@ -214,17 +214,12 @@ def _minhash_cfg() -> tuple[int, int]:
 
 
 def _adaptive_width(df, bytes_per_task: int) -> int:
-    """Scale-adaptive compute-repartition width (guide §2.5/§6): sized
-    from the relation's PLAN-TIME size statistics (file bytes — no job
-    runs), so byte-small inputs keep their few partitions (the exchange
-    would cost more than the compute it parallelizes — measured: a fixed
-    session-width repartition regressed sim_ivf_topk 2× at sf0.1 while
-    winning 35% at sf1) and larger inputs fan out, capped at the
-    session's shuffle width. Never a literal core count."""
-    stats = df._jdf.queryExecution().optimizedPlan().stats()
-    size = int(str(stats.sizeInBytes()))
-    cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return max(1, min(cap, size // bytes_per_task + 1))
+    """Delegates to the ONE shared sizing heuristic (session.adaptive_width)
+    — measured rationale: a fixed session-width repartition regressed
+    sim_ivf_topk 2× at sf0.1 while winning 35% at sf1."""
+    from ..session import adaptive_width
+
+    return adaptive_width(df, bytes_per_task)
 
 
 def _n_shuffle(spark) -> int:
@@ -697,11 +692,17 @@ def dd_simhash_full(spark, sf_dir):
     # per self-join side — 4 evaluations per bench iteration
     view = _simhash_sig_view(spark, _SIMHASH_FULL["n_bits"],
                              _SIMHASH_FULL["where"])
-    return (
+    out = (
         spark.sql(_simhash_sql("spark", sig_table=view, **_SIMHASH_FULL)),
         spark.sql(_simhash_sql("spark", emit="cand_count", sig_table=view,
                                **_SIMHASH_FULL)),
     )
+    # spark.sql analyzes eagerly, so the view is already resolved into
+    # both plans — drop it so repeated builder calls (best-of-2 bench
+    # loops) don't accumulate catalog references pinning checkpoint
+    # blocks (review r6)
+    spark.catalog.dropTempView(view)
+    return out
 
 
 # ------------------------------------------------------- embedding space
@@ -772,8 +773,12 @@ def _embed_inline_max_cells() -> int:
     the expression tree); above it the SAME fold runs through a broadcast
     join against the centroid table so the Catalyst tree stays O(1) in k.
     Both paths emit bit-identical scores — this is a plan-size knob, not a
-    semantics knob."""
-    return int(os.environ.get("SPARK_GRAFT_EMBED_INLINE_MAX_CELLS", "64"))
+    semantics knob. ONE reader (operators/ann._inline_max_cells) serves
+    both the embed probe scoring here and the kmeans/assign argmin, so
+    the switchover can never drift between them (review r6)."""
+    from ..operators.ann import _inline_max_cells
+
+    return _inline_max_cells()
 
 
 def _prefilter_min_vecs() -> int:
@@ -907,14 +912,16 @@ def _embed_blocked_pairs(e, max_cell_pop: int, probes: int,
     if inrow_probe and inline and probes - 1 == 1:
         # r6 (guide §2.4): top-1 probe computed IN-ROW — an array of
         # (−score, cell) structs filtered to nonhome cells and reduced
-        # with array_min, which IS the r5 min(struct(−score, cell)) hash
-        # aggregate without the ×k explode and the corpus-wide
-        # groupBy(vec_id) exchange (equality pinned in
-        # tests/test_operators_misc.py). The bench/production arms opt in;
-        # the oracle slice keeps the keyed r5 shape, which measured faster
-        # at its tiny scale. Scores come from a decimal fold cast to
-        # double, so every zero is the same +0.0 and negation cannot
-        # split a tie.
+        # with array_min, which IS the keyed min(struct(−score, cell))
+        # hash aggregate without the ×k explode and the groupBy(vec_id)
+        # exchange (equality pinned in tests/test_operators_misc.py).
+        # NO production caller currently opts in: the keyed probe's
+        # exchange doubles as the plan's reuse point, and removing it
+        # measured SLOWER end to end wherever the probe subtree is
+        # referenced more than once (OPTIMIZATION_r06.md, finding #2) —
+        # the flag stays as the measured-and-rejected alternative, pinned
+        # equal. Scores come from a decimal fold cast to double, so every
+        # zero is the same +0.0 and negation cannot split a tie.
         best = F.array_min(F.filter(
             F.array(*[
                 F.struct((-score_against(arr)).alias("ns"),

@@ -266,8 +266,17 @@ def mm_media_features(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from ..operators.multimodal import attach_binary_payload, extract_media_features
+    from ..session import adaptive_width
 
     docs = t(spark, sf_dir, "documents")
+    # r6 (review): repartition the NARROW documents rows before the
+    # envelope-building projection — this parallelizes both the JVM
+    # envelope construction and the Python decode while shuffling only
+    # (doc_id, text, ...); extract_media_features' internal fallback then
+    # sees enough partitions and never shuffles the built payload bytes.
+    w = adaptive_width(docs, 192 * 1024)
+    if w > 1:
+        docs = docs.repartition(w, "doc_id")
     feats = extract_media_features(attach_binary_payload(docs))
     return feats.select(
         "doc_id", "content_type", "size_bytes", "sha16", "width", "height",

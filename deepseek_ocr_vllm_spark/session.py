@@ -16,6 +16,21 @@ from pyspark.sql import SparkSession
 ARROW_BATCH = 10_000  # rows per Arrow batch handed to the extraction UDF
 
 
+def adaptive_width(df, bytes_per_task: int) -> int:
+    """Scale-adaptive compute-repartition width (r6, optimization guide
+    §2.5/§6), shared by every operator that repartitions before
+    compute-dense map work: sized from the relation's PLAN-TIME size
+    statistics (file bytes for scans; projections inherit an estimate —
+    treat the result as an order of magnitude, not a byte count), so
+    byte-small inputs keep their few partitions (the exchange would cost
+    more than the compute it parallelizes) and larger inputs fan out,
+    capped at the session's shuffle width. Never a literal core count."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    size = int(str(stats.sizeInBytes()))
+    cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(cap, size // bytes_per_task + 1))
+
+
 def get_spark(
     app_name: str = "deepseek_ocr_vllm_spark",
     master: str | None = None,

@@ -51,6 +51,11 @@ def main():
               "runs, per-query min per side)\n")
         print("| query | r5 | r6 | Δ |")
         print("|---|---|---|---|")
+        only = set(oq) ^ set(nq) | (set(of) ^ set(nf))
+        if only:
+            print(f"| (present on one side only, skipped: {sorted(only)}) |")
+        oq = {k: v for k, v in oq.items() if k in nq}
+        of = {k: v for k, v in of.items() if k in nf}
         for k in oq:
             d = (nq[k] - oq[k]) / oq[k] * 100
             print(f"| {k} | {oq[k]:.2f} | {nq[k]:.2f} | {d:+.0f}% |")
